@@ -1,0 +1,105 @@
+"""Benchmark: res64 unconditional generation throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric (BASELINE.md): meshes/min/chip at res64 uncond — the full
+1000-step DDPM ancestral sampler on the flagship res64 U-Net (nf=128,
+ch_mult (1,1,2,4,4), attention at 16^3) plus marching-tets extraction.
+
+``vs_baseline`` is measured against the north-star budget of 10 s/mesh
+(BASELINE.json: <10 s/mesh on a v5e-8, i.e. 6 meshes/min/chip at batch
+amortization); the reference publishes no numbers of its own.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from meshdiffusion_tpu.config import get_config
+    from meshdiffusion_tpu.models import create_model
+    from meshdiffusion_tpu.diffusion.vpsde import VPSDE
+    from meshdiffusion_tpu.diffusion.sampling import get_sampling_fn
+    from meshdiffusion_tpu.extract import make_grid_to_mesh
+    from meshdiffusion_tpu.geometry.marching_tets import compact_mesh
+    from meshdiffusion_tpu.geometry.tet_grid import TetGrid
+
+    steps = int(os.environ.get('BENCH_STEPS', '1000'))
+    batch = int(os.environ.get('BENCH_BATCH', '4'))
+
+    cfg = get_config('res64')
+    cfg.model.num_scales = steps
+    cfg.eval.batch_size = batch
+    R = 64
+
+    tg = TetGrid.load(R)
+    mask = jnp.asarray(tg.grid_mask())[None, ..., None]
+
+    model = create_model(cfg)
+    x0 = jnp.zeros((1, R, R, R, 4))
+    params = model.init({'params': jax.random.key(0)}, x0, jnp.zeros((1,)), mask)
+
+    sde = VPSDE(N=steps)
+    shape = (batch, R, R, R, 4)
+    sampler = get_sampling_fn(cfg, sde, shape, grid_mask=mask)
+
+    def model_fn(x, labels):
+        return model.apply(params, x, labels, mask, train=False)
+
+    sample = jax.jit(lambda k: sampler(model_fn, k)[0])
+    g2m = make_grid_to_mesh(tg)
+
+    # warmup/compile
+    out = sample(jax.random.key(0))
+    out.block_until_ready()
+    mt = g2m(out[0])
+    jax.block_until_ready(mt)
+
+    t0 = time.perf_counter()
+    out = sample(jax.random.key(1))
+    out.block_until_ready()
+    t_sample = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    meshes = []
+    for i in range(batch):
+        mt = g2m(out[i])
+        jax.block_until_ready(mt)
+        meshes.append(compact_mesh(mt))
+    t_extract = time.perf_counter() - t0
+
+    total = t_sample + t_extract
+    meshes_per_min = batch / total * 60.0
+    sec_per_mesh = total / batch
+    # north star: <10 s/mesh -> 6 meshes/min/chip
+    vs_baseline = meshes_per_min / 6.0
+
+    result = {
+        "metric": "res64_uncond_meshes_per_min_per_chip",
+        "value": round(meshes_per_min, 3),
+        "unit": "meshes/min/chip",
+        "vs_baseline": round(vs_baseline, 3),
+        "detail": {
+            "steps": steps,
+            "batch": batch,
+            "sample_s": round(t_sample, 3),
+            "extract_s": round(t_extract, 3),
+            "sec_per_mesh": round(sec_per_mesh, 3),
+            "ms_per_unet_step": round(t_sample / max(steps - 1, 1) * 1000, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

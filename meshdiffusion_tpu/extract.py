@@ -1,0 +1,96 @@
+"""Batch mesh extraction: generated .npy grids -> smoothed .obj meshes.
+
+Counterpart of reference ``nvdiffrec/eval.py:300-456`` minus the rendering
+sanity PNG (see ``render/`` for that): per sample, gather SDF sign + deform
+at the tet vertices, marching tets, Laplacian smoothing, .obj out. The
+grid->mesh path is one jitted fixed-shape function; compaction and file I/O
+happen on host.
+
+Also covers ``nvdiffrec/eval_traj.py`` via ``extract_dir`` over trajectory
+folders.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .geometry.marching_tets import marching_tets, compact_mesh
+from .geometry.obj_io import write_obj
+from .geometry.smoothing import laplacian_smooth
+from .geometry.tet_grid import TetGrid
+
+logger = logging.getLogger(__name__)
+
+
+def make_grid_to_mesh(tet_grid: TetGrid, mesh_scale: float = 2.1,
+                      deform_scale: float = 1.0, unnormalized_sdf: bool = False):
+    """Jitted (R, R, R, 4) channels-last grid -> padded marching-tets mesh."""
+
+    @jax.jit
+    def fn(grid):
+        sdf, deform = tet_grid.grid_to_tet(grid,
+                                           normalize_sdf=not unnormalized_sdf)
+        vpos = tet_grid.deformed_verts(deform, scale=mesh_scale,
+                                       deform_scale=deform_scale)
+        return marching_tets(tet_grid, vpos, sdf)
+
+    return fn
+
+
+def extract_grid(grid: np.ndarray, tet_grid: TetGrid, out_path: str,
+                 mesh_scale: float = 2.1, deform_scale: float = 1.0,
+                 num_smooth_steps: int = 3, unnormalized_sdf: bool = False,
+                 _fn_cache={}):
+    """One (4, R, R, R) channel-first grid -> smoothed .obj at out_path."""
+    key = (id(tet_grid), mesh_scale, deform_scale, unnormalized_sdf)
+    if key not in _fn_cache:
+        _fn_cache[key] = make_grid_to_mesh(tet_grid, mesh_scale, deform_scale,
+                                           unnormalized_sdf)
+    fn = _fn_cache[key]
+    g = jnp.asarray(np.moveaxis(np.asarray(grid, np.float32), 0, -1))
+    out = fn(g)
+    verts, faces = compact_mesh(out)
+    if num_smooth_steps > 0 and len(faces):
+        verts = np.asarray(laplacian_smooth(jnp.asarray(verts),
+                                            jnp.asarray(faces.astype(np.int32)),
+                                            steps=num_smooth_steps))
+    write_obj(out_path, verts, faces)
+    return verts, faces
+
+
+def extract_batch(sample_path: str, out_dir: str, resolution: int = 64,
+                  mesh_scale: float = 2.1, deform_scale: float = 1.0,
+                  num_smooth_steps: int = 3, unnormalized_sdf: bool = False,
+                  tet_root: Optional[str] = None, viz_name: str = 'viz'):
+    """All samples in one .npy batch file -> .obj meshes
+    (reference eval.py:400-456)."""
+    tg = TetGrid.load(resolution, tet_root)
+    mesh_dir = os.path.join(out_dir, 'mesh')
+    os.makedirs(mesh_dir, exist_ok=True)
+    data_all = np.load(sample_path)
+    logger.info('shape of generated data %s', data_all.shape)
+    paths = []
+    for i in range(data_all.shape[0]):
+        p = os.path.join(mesh_dir, f'{i:06d}.obj')
+        v, f = extract_grid(data_all[i], tg, p, mesh_scale, deform_scale,
+                            num_smooth_steps, unnormalized_sdf)
+        logger.info('%s: %d verts, %d faces', p, len(v), len(f))
+        paths.append(p)
+    return paths
+
+
+def extract_dir(sample_dir: str, out_dir: str, **kw):
+    """Extract every .npy under sample_dir (trajectory eval,
+    reference eval_traj.py:398-452)."""
+    paths = []
+    for k, f in enumerate(sorted(glob.glob(os.path.join(sample_dir, '*.npy')))):
+        sub = os.path.join(out_dir, f'time{k:03d}')
+        paths += extract_batch(f, sub, **kw)
+    return paths

@@ -1,0 +1,116 @@
+"""Fixed-shape differentiable marching tetrahedra.
+
+Behavioral counterpart of the reference ``nvdiffrec/lib/geometry/dmtet.py``
+``DMTet.__call__`` (dmtet.py:105-163), re-designed for XLA/TPU:
+
+The reference deduplicates crossing edges per call with ``torch.unique`` and
+emits compacted, data-dependent-size vertex/face arrays — untraceable under
+jit. Here the unique-edge table of the (static) tet grid is precomputed once
+(``TetGrid``), so each call is pure fixed-shape gather/arithmetic:
+
+* one interpolated vertex PER UNIQUE EDGE (E total), valid only where the
+  edge crosses the surface (``vert_mask``);
+* two triangle slots PER TET (2T total), valid per ``face_mask``; face
+  indices point into the E-sized vertex array.
+
+Outputs are padded to static shapes, jit/vmap-compatible, and differentiable
+w.r.t. both vertex positions and SDF values (the interpolation weights carry
+the SDF gradient exactly as in the reference). Host-side compaction for
+.obj export lives in ``compact_mesh``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tet_grid import TetGrid, TRIANGLE_TABLE, NUM_TRIANGLES_TABLE
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MarchingTetsOutput:
+    verts: jnp.ndarray       # (E, 3) f32, junk where ~vert_mask
+    vert_mask: jnp.ndarray   # (E,) bool, True where edge crosses surface
+    faces: jnp.ndarray       # (2T, 3) i32 into the E-sized vertex array
+    face_mask: jnp.ndarray   # (2T,) bool
+    face_tet_idx: jnp.ndarray  # (2T,) i32, source tet of each face slot
+    valid_vert_mask: jnp.ndarray  # (V,) bool over TET vertices touching geometry
+
+    def num_faces(self) -> jnp.ndarray:
+        return jnp.sum(self.face_mask)
+
+
+def marching_tets(grid: TetGrid, v_pos: jnp.ndarray, sdf: jnp.ndarray
+                  ) -> MarchingTetsOutput:
+    """Extract the zero-isosurface triangle mesh.
+
+    Args:
+      grid: static TetGrid (edge tables precomputed on host).
+      v_pos: (V, 3) deformed tet-vertex positions.
+      sdf: (V,) signed distance values.
+    """
+    edges = jnp.asarray(grid.unique_edges)           # (E, 2)
+    tet2edge = jnp.asarray(grid.tet_edge_to_unique)  # (T, 6)
+    tets = jnp.asarray(grid.indices)                 # (T, 4)
+
+    occ = sdf > 0                                    # (V,)
+
+    # --- per-unique-edge interpolated vertices (reference dmtet.py:125-132)
+    ea, eb = edges[:, 0], edges[:, 1]
+    sa, sb = sdf[ea], sdf[eb]
+    crossing = occ[ea] ^ occ[eb]                     # (E,)
+    denom = sa - sb
+    safe = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+    wa = -sb / safe                                  # weight of vertex a
+    wb = sa / safe
+    verts = v_pos[ea] * wa[:, None] + v_pos[eb] * wb[:, None]
+
+    # --- per-tet triangle emission (reference dmtet.py:134-152)
+    occ4 = occ[tets]                                 # (T, 4)
+    pow2 = jnp.asarray([1, 2, 4, 8], jnp.int32)
+    tetindex = jnp.sum(occ4.astype(jnp.int32) * pow2, axis=-1)   # (T,)
+    tri_table = jnp.asarray(TRIANGLE_TABLE)          # (16, 6)
+    ntri_table = jnp.asarray(NUM_TRIANGLES_TABLE)    # (16,)
+    num_tri = ntri_table[tetindex]                   # (T,)
+    local = tri_table[tetindex]                      # (T, 6) local edge slots
+    local_safe = jnp.maximum(local, 0)
+    global_edge = jnp.take_along_axis(tet2edge, local_safe, axis=1)  # (T, 6)
+
+    T = grid.num_tets
+    faces = global_edge.reshape(T, 2, 3).reshape(2 * T, 3)
+    face_mask = jnp.stack([num_tri >= 1, num_tri == 2], axis=1).reshape(2 * T)
+    face_tet_idx = jnp.repeat(jnp.arange(T, dtype=jnp.int32), 2)
+
+    # --- valid tet-vertex mask (reference dmtet.py:161)
+    active_tet = num_tri > 0
+    valid_vert = jnp.zeros((grid.num_verts,), bool)
+    valid_vert = valid_vert.at[tets.reshape(-1)].max(
+        jnp.repeat(active_tet, 4))
+
+    return MarchingTetsOutput(verts=verts, vert_mask=crossing,
+                              faces=faces, face_mask=face_mask,
+                              face_tet_idx=face_tet_idx,
+                              valid_vert_mask=valid_vert)
+
+
+def compact_mesh(out: MarchingTetsOutput) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side compaction of a padded marching-tets output to dense
+    (verts, faces) numpy arrays, with face winding identical to the
+    reference (vertex order within each face is preserved)."""
+    verts = np.asarray(out.verts)
+    vmask = np.asarray(out.vert_mask)
+    faces = np.asarray(out.faces)[np.asarray(out.face_mask)]
+    remap = -np.ones(verts.shape[0], np.int64)
+    used = np.zeros(verts.shape[0], bool)
+    used[faces.reshape(-1)] = True
+    used &= vmask
+    remap[used] = np.arange(used.sum())
+    v = verts[used]
+    f = remap[faces]
+    assert (f >= 0).all(), "face references a non-crossing edge vertex"
+    return v.astype(np.float32), f.astype(np.int64)

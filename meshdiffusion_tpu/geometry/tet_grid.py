@@ -1,0 +1,159 @@
+"""Static tetrahedral-grid structures, precomputed once per resolution.
+
+The reference recomputes edge dedup with ``torch.unique`` inside every
+marching-tets call (reference nvdiffrec/lib/geometry/dmtet.py:114-124) — a
+dynamic-shape op that cannot compile on TPU. The tet grid never changes, so
+here everything shape-dependent is precomputed ONCE on host with numpy:
+
+* the sorted unique-edge table (E, 2) and the (T, 6) map from each tet's six
+  local edges into it;
+* the vertex -> cubic-grid integer coordinate map used by the grid<->tet
+  resampling (reference data/tets_to_3dgrid.py:27-34, evaler.py:186-201);
+* the cubic-grid occupancy mask (reference data/get_tet_mask.py:9-37).
+
+Per-sample marching tets then becomes pure fixed-shape gather/scatter (see
+``marching_tets.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# Marching-tetrahedra tables (standard Kaolin convention; reference
+# nvdiffrec/lib/geometry/dmtet.py:34-54). Row = occupancy case 0..15,
+# entries = local edge slots (0..5) in base_tet_edges order, -1 = unused.
+TRIANGLE_TABLE = np.array([
+    [-1, -1, -1, -1, -1, -1],
+    [1, 0, 2, -1, -1, -1],
+    [4, 0, 3, -1, -1, -1],
+    [1, 4, 2, 1, 3, 4],
+    [3, 1, 5, -1, -1, -1],
+    [2, 3, 0, 2, 5, 3],
+    [1, 4, 0, 1, 5, 4],
+    [4, 2, 5, -1, -1, -1],
+    [4, 5, 2, -1, -1, -1],
+    [4, 1, 0, 4, 5, 1],
+    [3, 2, 0, 3, 5, 2],
+    [1, 3, 5, -1, -1, -1],
+    [4, 1, 2, 4, 3, 1],
+    [3, 0, 4, -1, -1, -1],
+    [2, 0, 1, -1, -1, -1],
+    [-1, -1, -1, -1, -1, -1],
+], dtype=np.int32)
+
+NUM_TRIANGLES_TABLE = np.array(
+    [0, 1, 1, 2, 1, 2, 2, 1, 1, 2, 2, 1, 2, 1, 1, 0], dtype=np.int32)
+
+BASE_TET_EDGES = np.array([0, 1, 0, 2, 0, 3, 1, 2, 1, 3, 2, 3], dtype=np.int32)
+
+_DEFAULT_TET_DIR = os.path.join(os.path.dirname(__file__), '..', 'assets')
+
+
+@dataclasses.dataclass(frozen=True)
+class TetGrid:
+    """Immutable static structure of one tetrahedral grid resolution."""
+
+    resolution: int                    # cubic grid resolution R
+    verts: np.ndarray                  # (V, 3) f32, raw (unscaled) positions
+    indices: np.ndarray                # (T, 4) i32 tet vertex ids
+    unique_edges: np.ndarray           # (E, 2) i32, sorted pairs, lexsorted
+    tet_edge_to_unique: np.ndarray     # (T, 6) i32 -> unique edge id
+    vert_grid_coords: np.ndarray       # (V, 3) i32 integer cubic-grid coords
+
+    # ---- constructors ----
+
+    @staticmethod
+    @functools.lru_cache(maxsize=4)
+    def load(resolution: int = 64, tet_dir: Optional[str] = None) -> "TetGrid":
+        """Load ``{R}_tets_cropped.npz`` and precompute static tables."""
+        tet_dir = tet_dir or _DEFAULT_TET_DIR
+        path = os.path.join(tet_dir, f'{resolution}_tets_cropped.npz')
+        data = np.load(path)
+        return TetGrid.from_arrays(resolution,
+                                   np.asarray(data['vertices'], np.float32),
+                                   np.asarray(data['indices'], np.int32))
+
+    @staticmethod
+    def from_arrays(resolution: int, verts: np.ndarray, indices: np.ndarray
+                    ) -> "TetGrid":
+        edges = indices[:, BASE_TET_EDGES].reshape(-1, 2)          # (6T, 2)
+        edges_sorted = np.sort(edges, axis=1)
+        unique_edges, inverse = np.unique(edges_sorted, axis=0,
+                                          return_inverse=True)
+        tet_edge_to_unique = inverse.reshape(-1, 6).astype(np.int32)
+
+        u = np.unique(verts)
+        dx = float(u[1] - u[0])
+        coords = np.round((verts - verts.min()) / dx).astype(np.int32)
+
+        return TetGrid(resolution=resolution,
+                       verts=verts,
+                       indices=indices,
+                       unique_edges=unique_edges.astype(np.int32),
+                       tet_edge_to_unique=tet_edge_to_unique,
+                       vert_grid_coords=coords)
+
+    # ---- derived quantities ----
+
+    @property
+    def num_verts(self) -> int:
+        return self.verts.shape[0]
+
+    @property
+    def num_tets(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.unique_edges.shape[0]
+
+    def grid_mask(self) -> np.ndarray:
+        """(R, R, R) f32 occupancy mask (reference data/get_tet_mask.py:9-15)."""
+        R = self.resolution
+        mask = np.zeros((R, R, R), np.float32)
+        c = self.vert_grid_coords
+        mask[c[:, 0], c[:, 1], c[:, 2]] = 1.0
+        return mask
+
+    # ---- grid <-> tet resampling (jit-safe jnp ops) ----
+
+    def grid_to_tet(self, grid: jnp.ndarray, normalize_sdf: bool = True
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Sample per-vertex (sdf, deform) from a (R, R, R, 4) channels-last grid.
+
+        Counterpart of reference nvdiffrec/eval.py:405-419: sdf is taken as
+        the SIGN of channel 0 (when normalize_sdf), deform = channels 1:4
+        clipped to [-1, 1].
+        """
+        c = jnp.asarray(self.vert_grid_coords)
+        vals = grid[c[:, 0], c[:, 1], c[:, 2], :]      # (V, 4)
+        sdf = vals[:, 0]
+        if normalize_sdf:
+            s = jnp.sign(sdf)
+            sdf = jnp.where(s == 0, 1.0, s)
+        deform = jnp.clip(vals[:, 1:4], -1.0, 1.0)
+        return sdf, deform
+
+    def tet_to_grid(self, sdf: jnp.ndarray, deform: jnp.ndarray) -> jnp.ndarray:
+        """Scatter per-vertex values into a (R, R, R, 4) channels-last grid.
+
+        Counterpart of reference data/tets_to_3dgrid.py:7-15.
+        """
+        R = self.resolution
+        c = jnp.asarray(self.vert_grid_coords)
+        vals = jnp.concatenate([sdf[:, None], deform], axis=1)   # (V, 4)
+        grid = jnp.zeros((R, R, R, 4), vals.dtype)
+        return grid.at[c[:, 0], c[:, 1], c[:, 2], :].set(vals)
+
+    def deformed_verts(self, deform: jnp.ndarray, scale: float = 1.0,
+                       deform_scale: float = 1.0) -> jnp.ndarray:
+        """verts*scale + 2/(2*R) * deform * deform_scale
+        (reference dmtet.py:293-304)."""
+        base = jnp.asarray(self.verts) * scale
+        return base + 2.0 / (self.resolution * 2) * deform * deform_scale

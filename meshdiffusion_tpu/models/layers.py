@@ -1,0 +1,202 @@
+"""3D U-Net building blocks, channels-last, flax.linen.
+
+Behavioral counterparts of the reference blocks in
+``lib/diffusion/models/layers.py`` (ResnetBlockDDPM:646-689, AttnBlock:585-608,
+Upsample:611-623, Downsample:626-643, get_timestep_embedding:542-556, NIN:573),
+re-designed for TPU:
+
+* all activations are NDHWC — XLA's preferred conv layout on TPU;
+* attention is a plain (B, S, C) dot-product softmax over the flattened
+  volume (S = D*H*W, 4096 at 16 cubed), hitting the MXU as two batched
+  matmuls instead of the reference's 7-D einsum;
+* convs/matmuls may run in bfloat16 (``dtype``) with fp32 parameters and
+  fp32 GroupNorm statistics.
+
+Initializers reproduce the DDPM ``variance_scaling(1., 'fan_avg', 'uniform')``
+scheme (reference layers.py:54-91) so training-from-scratch matches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+
+def ddpm_init(scale: float = 1.0):
+    """variance_scaling(scale, fan_avg, uniform); scale 0 -> 1e-10 (zero-init)."""
+    scale = 1e-10 if scale == 0 else scale
+    return nn.initializers.variance_scaling(scale, 'fan_avg', 'uniform')
+
+
+def get_timestep_embedding(timesteps: jnp.ndarray, embedding_dim: int,
+                           max_positions: int = 10000) -> jnp.ndarray:
+    """Sinusoidal embedding of (possibly fractional) timestep labels.
+
+    Matches reference layers.py:542-556: freq = exp(-log(1e4) * i/(half-1)).
+    """
+    assert timesteps.ndim == 1
+    half_dim = embedding_dim // 2
+    emb = np.log(max_positions) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class NIN(nn.Module):
+    """1x1 'network-in-network' layer over the channel axis."""
+    num_units: int
+    init_scale: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_dim = x.shape[-1]
+        w = self.param('W', ddpm_init(self.init_scale), (in_dim, self.num_units))
+        b = self.param('b', nn.initializers.zeros, (self.num_units,))
+        y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype),
+                    preferred_element_type=jnp.float32)
+        return y + b
+
+
+class Conv3D(nn.Module):
+    """NDHWC conv wrapper with DDPM init and optional compute dtype."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: Any = 'SAME'
+    init_scale: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel,) * 3,
+            strides=(self.stride,) * 3,
+            padding=self.padding,
+            kernel_init=ddpm_init(self.init_scale),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name='conv')(x)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm(32) with fp32 statistics regardless of compute dtype."""
+    num_groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
+                         dtype=jnp.float32, param_dtype=jnp.float32,
+                         name='norm')(x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+class ResnetBlockDDPM(nn.Module):
+    """GN-SiLU-conv / +temb / GN-SiLU-drop-conv(zero) with NIN shortcut.
+
+    Reference layers.py:646-689.
+    """
+    out_ch: Optional[int] = None
+    temb_dim: Optional[int] = None
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None,
+                 *, deterministic: bool = True) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+
+        h = nn.silu(GroupNorm(name='GroupNorm_0')(x))
+        h = Conv3D(out_ch, 3, dtype=self.dtype, name='Conv_0')(h)
+        if temb is not None:
+            t = nn.Dense(out_ch, kernel_init=ddpm_init(),
+                         bias_init=nn.initializers.zeros,
+                         dtype=self.dtype, param_dtype=jnp.float32,
+                         name='Dense_0')(nn.silu(temb))
+            h = h + t[:, None, None, None, :].astype(h.dtype)
+        h = nn.silu(GroupNorm(name='GroupNorm_1')(h))
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = Conv3D(out_ch, 3, init_scale=0.0, dtype=self.dtype, name='Conv_1')(h)
+        if in_ch != out_ch:
+            x = NIN(out_ch, dtype=self.dtype, name='NIN_0')(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Full self-attention over the flattened volume (runs at 16 cubed only).
+
+    Same math as reference layers.py:585-608 but expressed as batched
+    (B, S, C) matmuls for the MXU.
+    """
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, D, H, W, C = x.shape
+        h = GroupNorm(name='GroupNorm_0')(x)
+        q = NIN(C, dtype=self.dtype, name='NIN_0')(h)
+        k = NIN(C, dtype=self.dtype, name='NIN_1')(h)
+        v = NIN(C, dtype=self.dtype, name='NIN_2')(h)
+        S = D * H * W
+        q = q.reshape(B, S, C)
+        k = k.reshape(B, S, C)
+        v = v.reshape(B, S, C)
+        w = jnp.einsum('bsc,btc->bst', q, k,
+                       preferred_element_type=jnp.float32) * (C ** -0.5)
+        w = jax.nn.softmax(w, axis=-1)
+        h = jnp.einsum('bst,btc->bsc', w.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32)
+        h = h.reshape(B, D, H, W, C)
+        h = NIN(C, init_scale=0.0, dtype=self.dtype, name='NIN_3')(h)
+        return x + h
+
+
+class Upsample(nn.Module):
+    """Nearest x2 then optional conv3x3 (reference layers.py:611-623)."""
+    with_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, D, H, W, C = x.shape
+        h = jnp.repeat(jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2), 2, axis=3)
+        if self.with_conv:
+            h = Conv3D(C, 3, dtype=self.dtype, name='Conv_0')(h)
+        return h
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv with right-pad-1 'SAME' emulation, or avg-pool.
+
+    Reference layers.py:626-643 pads (0,1) on each spatial dim then applies a
+    VALID 3x3x3 stride-2 conv.
+    """
+    with_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, D, H, W, C = x.shape
+        if self.with_conv:
+            pad = [(0, 0), (0, 1), (0, 1), (0, 1), (0, 0)]
+            h = jnp.pad(x, pad)
+            h = Conv3D(C, 3, stride=2, padding='VALID', dtype=self.dtype,
+                       name='Conv_0')(h)
+        else:
+            h = nn.avg_pool(x, (2, 2, 2), strides=(2, 2, 2))
+        assert h.shape == (B, D // 2, H // 2, W // 2, C)
+        return h

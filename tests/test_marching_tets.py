@@ -1,0 +1,131 @@
+"""Marching tetrahedra: fixed-shape kernel vs an independent dynamic-shape
+numpy oracle implementing the reference algorithm
+(nvdiffrec/lib/geometry/dmtet.py:105-163), plus geometric sanity checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meshdiffusion_tpu.geometry.marching_tets import marching_tets, compact_mesh
+from meshdiffusion_tpu.geometry.tet_grid import (
+    TRIANGLE_TABLE, NUM_TRIANGLES_TABLE, BASE_TET_EDGES)
+
+
+def oracle_marching_tets(pos, sdf, tets):
+    """Slow dynamic-shape numpy reference (dual-implementation oracle)."""
+    occ = sdf > 0
+    occ4 = occ[tets]
+    occ_sum = occ4.sum(-1)
+    valid = (occ_sum > 0) & (occ_sum < 4)
+
+    all_edges = tets[valid][:, BASE_TET_EDGES].reshape(-1, 2)
+    all_edges = np.sort(all_edges, axis=1)
+    unique_edges, idx_map = np.unique(all_edges, axis=0, return_inverse=True)
+    cross = occ[unique_edges].sum(-1) == 1
+    mapping = -np.ones(len(unique_edges), np.int64)
+    mapping[cross] = np.arange(cross.sum())
+    idx_map = mapping[idx_map].reshape(-1, 6)
+
+    interp = unique_edges[cross]
+    sa, sb = sdf[interp[:, 0]], sdf[interp[:, 1]]
+    denom = sa - sb
+    verts = (pos[interp[:, 0]] * (-sb / denom)[:, None]
+             + pos[interp[:, 1]] * (sa / denom)[:, None])
+
+    pow2 = 2 ** np.arange(4)
+    tetindex = (occ4[valid] * pow2).sum(-1)
+    ntri = NUM_TRIANGLES_TABLE[tetindex]
+    faces = []
+    for row, case, n in zip(idx_map, tetindex, ntri):
+        tt = TRIANGLE_TABLE[case]
+        for k in range(n):
+            faces.append(row[tt[3 * k:3 * k + 3]])
+    faces = np.asarray(faces if faces else np.zeros((0, 3)), np.int64)
+    return verts, faces
+
+
+def canonical(verts, faces, decimals=5):
+    """Order-independent canonical form of a mesh for comparison."""
+    v = np.round(verts, decimals)
+    tri = v[faces]                      # (F, 3, 3)
+    # roll each triangle so its lexicographically smallest vertex is first
+    # (preserves orientation/winding), then sort triangles
+    flat = tri.reshape(len(tri), 3, 3)
+    order = np.argmin(
+        [tuple_key(flat[:, i]) for i in range(3)], axis=0) if len(tri) else []
+    rolled = np.stack([np.roll(flat[i], -order[i], axis=0)
+                       for i in range(len(flat))]) if len(tri) else flat
+    keys = rolled.reshape(len(tri), -1)
+    idx = np.lexsort(keys.T[::-1]) if len(tri) else []
+    return rolled[idx] if len(tri) else rolled
+
+
+def tuple_key(arr):
+    """Lexicographic scalar key per row of an (N, 3) array."""
+    a = np.round(arr, 5)
+    return a[:, 0] * 1e6 + a[:, 1] * 1e3 + a[:, 2]
+
+
+def test_matches_oracle_on_sphere(tiny_tet_grid):
+    tg = tiny_tet_grid
+    pos = tg.verts
+    sdf = 0.3 - np.linalg.norm(pos, axis=1).astype(np.float32)
+    out = jax.jit(lambda s: marching_tets(tg, jnp.asarray(pos), s))(
+        jnp.asarray(sdf))
+    v1, f1 = compact_mesh(out)
+    v2, f2 = oracle_marching_tets(pos, sdf, tg.indices)
+    assert f1.shape == f2.shape
+    t1 = canonical(v1, f1)
+    t2 = canonical(v2, f2)
+    np.testing.assert_allclose(t1, t2, atol=1e-4)
+
+
+def test_matches_oracle_on_random_sdf(tiny_tet_grid, rng):
+    tg = tiny_tet_grid
+    pos = tg.verts
+    for seed in range(3):
+        sdf = rng.standard_normal(tg.num_verts).astype(np.float32)
+        sdf[sdf == 0] = 1.0
+        out = marching_tets(tg, jnp.asarray(pos), jnp.asarray(sdf))
+        v1, f1 = compact_mesh(out)
+        v2, f2 = oracle_marching_tets(pos, sdf, tg.indices)
+        assert f1.shape == f2.shape
+        np.testing.assert_allclose(canonical(v1, f1), canonical(v2, f2),
+                                   atol=1e-4)
+
+
+def test_sphere_geometry(tiny_tet_grid):
+    tg = tiny_tet_grid
+    pos = tg.verts
+    sdf = 0.3 - np.linalg.norm(pos, axis=1).astype(np.float32)
+    out = marching_tets(tg, jnp.asarray(pos), jnp.asarray(sdf))
+    v, f = compact_mesh(out)
+    r = np.linalg.norm(v, axis=1)
+    assert abs(r.mean() - 0.3) < 0.01
+    assert r.std() < 0.02
+    # closed genus-0 mesh: F = 2V - 4
+    assert f.shape[0] == 2 * v.shape[0] - 4
+
+
+def test_differentiable_wrt_sdf(tiny_tet_grid):
+    tg = tiny_tet_grid
+    pos = jnp.asarray(tg.verts)
+    sdf = jnp.asarray(0.3 - np.linalg.norm(tg.verts, axis=1), jnp.float32)
+
+    def loss(s):
+        out = marching_tets(tg, pos, s)
+        w = out.vert_mask.astype(jnp.float32)[:, None]
+        return jnp.sum(out.verts * w)
+
+    g = jax.grad(loss)(sdf)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_empty_and_full_sdf(tiny_tet_grid):
+    tg = tiny_tet_grid
+    pos = jnp.asarray(tg.verts)
+    for val in (1.0, -1.0):
+        out = marching_tets(tg, pos, jnp.full((tg.num_verts,), val))
+        assert int(out.num_faces()) == 0
+        assert not bool(out.vert_mask.any())
