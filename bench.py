@@ -19,10 +19,15 @@ import time
 
 import numpy as np
 
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.jax_cache')
+
 
 def main():
     import jax
     import jax.numpy as jnp
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ['JAX_COMPILATION_CACHE_DIR'])
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from meshdiffusion_tpu.config import get_config
