@@ -57,3 +57,8 @@ def tiny_tet_grid():
 def real_tet_grid():
     from meshdiffusion_tpu.geometry.tet_grid import TetGrid
     return TetGrid.load(64)
+
+
+# persistent compile cache: repeat test runs skip recompiles
+jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache_tests')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
