@@ -8,8 +8,13 @@ Primary metric (BASELINE.md): meshes/min/chip at res64 uncond — the full
 ch_mult (1,1,2,4,4), attention at 16^3) plus marching-tets extraction.
 
 ``vs_baseline`` is measured against the north-star budget of 10 s/mesh
-(BASELINE.json: <10 s/mesh on a v5e-8, i.e. 6 meshes/min/chip at batch
-amortization); the reference publishes no numbers of its own.
+(BASELINE.json: <10 s/mesh on a v5e-8); the reference publishes no numbers
+of its own (BASELINE.md).
+
+Cost controls: parameters come from jax.eval_shape (timing does not depend
+on values, so the init compile is skipped), the sampler is AOT-compiled
+(persistent cache at JAX_COMPILATION_CACHE_DIR makes later runs cheap), and
+exactly one timed end-to-end run follows.
 """
 
 import json
@@ -51,33 +56,39 @@ def main():
 
     model = create_model(cfg)
     x0 = jnp.zeros((1, R, R, R, 4))
-    params = model.init({'params': jax.random.key(0)}, x0, jnp.zeros((1,)), mask)
+    shapes = jax.eval_shape(
+        lambda: model.init({'params': jax.random.key(0)}, x0,
+                           jnp.zeros((1,)), mask))
+    params = jax.tree.map(
+        lambda s: jax.random.normal(jax.random.key(hash(s.shape) % (2**31)),
+                                    s.shape, s.dtype) * 0.02, shapes)
 
     sde = VPSDE(N=steps)
     shape = (batch, R, R, R, 4)
     sampler = get_sampling_fn(cfg, sde, shape, grid_mask=mask)
 
-    def model_fn(x, labels):
-        return model.apply(params, x, labels, mask, train=False)
-
-    sample = jax.jit(lambda k: sampler(model_fn, k)[0])
-    g2m = make_grid_to_mesh(tg)
-
-    # warmup/compile
-    out = sample(jax.random.key(0))
-    out.block_until_ready()
-    mt = g2m(out[0])
-    jax.block_until_ready(mt)
+    def sample_fn(params, key):
+        def model_fn(x, labels):
+            return model.apply(params, x, labels, mask, train=False)
+        return sampler(model_fn, key)[0]
 
     t0 = time.perf_counter()
-    out = sample(jax.random.key(1))
+    compiled = jax.jit(sample_fn).lower(params, jax.random.key(0)).compile()
+    t_compile = time.perf_counter() - t0
+
+    g2m = make_grid_to_mesh(tg)
+    g2m_compiled = g2m.lower(jnp.zeros((R, R, R, 4))).compile()
+
+    # one timed end-to-end run
+    t0 = time.perf_counter()
+    out = compiled(params, jax.random.key(1))
     out.block_until_ready()
     t_sample = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     meshes = []
     for i in range(batch):
-        mt = g2m(out[i])
+        mt = g2m_compiled(out[i])
         jax.block_until_ready(mt)
         meshes.append(compact_mesh(mt))
     t_extract = time.perf_counter() - t0
@@ -100,6 +111,7 @@ def main():
             "extract_s": round(t_extract, 3),
             "sec_per_mesh": round(sec_per_mesh, 3),
             "ms_per_unet_step": round(t_sample / max(steps - 1, 1) * 1000, 3),
+            "compile_s": round(t_compile, 3),
             "device": str(jax.devices()[0]),
         },
     }

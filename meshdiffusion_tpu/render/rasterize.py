@@ -1,0 +1,304 @@
+"""Differentiable triangle rasterizer, TPU-native.
+
+Replaces nvdiffrast's CUDA/OpenGL rasterizer (used by the reference at
+``nvdiffrec/lib/render/render.py:290-297`` via ``dr.rasterize`` /
+``dr.DepthPeeler`` and ``dr.interpolate``) with an XLA-friendly design:
+
+* **Tile binning via sort, not scatter.** Each triangle's screen bbox is
+  mapped to the <=2x2 coarse tiles it can touch (TILE px tiles; DMTet
+  triangles are a few pixels wide, so a bbox never exceeds one tile size —
+  larger triangles are still rasterized in the tiles their bbox corners hit).
+  The (tile_id, tri_id) pairs are sorted once; per-tile segments are located
+  with searchsorted. Fixed shapes everywhere: per-tile capacity K, overflow
+  dropped (counted, queryable).
+* **Dense per-tile shading decision.** Each tile tests its K candidate
+  triangles against all TILE^2 pixels with vectorized edge functions and
+  takes a z-argmin — pure VPU math, no atomics, no z-buffer scatter.
+* **Hard visibility, soft attributes.** Triangle selection (ids, z-test) is
+  non-differentiable (wrapped in stop_gradient), while barycentric weights
+  are recomputed analytically from the winning triangle's vertices, so
+  gradients flow to vertex positions and attributes exactly like
+  ``dr.interpolate``'s backward. (nvdiffrast's ``antialias`` silhouette
+  gradients are approximated separately; see ``antialias_weight``.)
+
+Conventions: clip-space input (V, 4) after an OpenGL-style projection
+(render.utils.perspective), y-down pixel grid, depth = screen-linear z/w as
+in GL. Two depth layers supported (reference uses 2-layer peeling,
+render.py:290).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TILE = 32          # tile side in pixels
+SPAN = 2           # tiles a triangle bbox may span per axis
+BIG = jnp.float32(1e30)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RasterOut:
+    """Per-pixel rasterization result (one depth layer)."""
+    tri_id: jnp.ndarray     # (H, W) int32, -1 where empty
+    bary: jnp.ndarray       # (H, W, 3) perspective-correct barycentrics
+    zbuf: jnp.ndarray       # (H, W) screen z in [-1, 1], BIG where empty
+    valid: jnp.ndarray      # (H, W) bool
+
+    @property
+    def mask(self):
+        return self.valid
+
+
+def _screen_coords(v_clip: jnp.ndarray, res: Tuple[int, int]):
+    """Clip -> pixel coords. Returns (x, y, z, inv_w) with guarded w."""
+    H, W = res
+    w = v_clip[..., 3]
+    inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+    x = (v_clip[..., 0] * inv_w * 0.5 + 0.5) * W
+    y = (v_clip[..., 1] * inv_w * 0.5 + 0.5) * H
+    z = v_clip[..., 2] * inv_w
+    return x, y, z, inv_w
+
+
+def _edge(ax, ay, bx, by, px, py):
+    """Signed doubled area of (a, b, p)."""
+    return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+
+def bin_triangles(xs, ys, face_mask, res: Tuple[int, int], K: int):
+    """Sort-based triangle binning.
+
+    Returns (tile_tris (T, K) int32 with -1 padding, tile_counts (T,)).
+    """
+    H, W = res
+    ntx = -(-W // TILE)
+    nty = -(-H // TILE)
+    T = ntx * nty
+    F = xs.shape[1 - 1] if xs.ndim == 1 else xs.shape[0]
+
+    xmin = jnp.min(xs, axis=1)
+    xmax = jnp.max(xs, axis=1)
+    ymin = jnp.min(ys, axis=1)
+    ymax = jnp.max(ys, axis=1)
+
+    tx0 = jnp.clip(jnp.floor(xmin / TILE), 0, ntx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(ymin / TILE), 0, nty - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(xmax / TILE), 0, ntx - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(ymax / TILE), 0, nty - 1).astype(jnp.int32)
+
+    offscreen = (xmax < 0) | (xmin >= W) | (ymax < 0) | (ymin >= H)
+    dead = offscreen | ~face_mask
+
+    # the <= SPAN x SPAN tiles this bbox touches
+    entries_tile = []
+    entries_tri = []
+    tri_ids = jnp.arange(xs.shape[0], dtype=jnp.int32)
+    for dy in range(SPAN):
+        for dx in range(SPAN):
+            tx = jnp.minimum(tx0 + dx, tx1)
+            ty = jnp.minimum(ty0 + dy, ty1)
+            tile = ty * ntx + tx
+            # duplicate (same tile hit twice) or dead -> sentinel T
+            dup = ((dx > 0) & (tx0 + dx > tx1)) | ((dy > 0) & (ty0 + dy > ty1))
+            tile = jnp.where(dead | dup, T, tile)
+            entries_tile.append(tile)
+            entries_tri.append(tri_ids)
+    tiles = jnp.concatenate(entries_tile)
+    tris = jnp.concatenate(entries_tri)
+
+    order = jnp.argsort(tiles)
+    tiles_sorted = tiles[order]
+    tris_sorted = tris[order]
+
+    starts = jnp.searchsorted(tiles_sorted, jnp.arange(T, dtype=tiles.dtype))
+    counts = jnp.searchsorted(tiles_sorted,
+                              jnp.arange(1, T + 1, dtype=tiles.dtype)) - starts
+
+    idx = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+    in_seg = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+    idx = jnp.clip(idx, 0, tris_sorted.shape[0] - 1)
+    tile_tris = jnp.where(in_seg, tris_sorted[idx], -1)
+    return tile_tris, jnp.minimum(counts, K)
+
+
+def _rasterize_tiles(xs, ys, zs, tile_tris, res, z_floor: Optional[jnp.ndarray]):
+    """Per-tile dense z-argmin. Returns (tri_id, zbuf) images.
+
+    z_floor: optional (H, W) minimum depth (exclusive) for depth peeling.
+    """
+    H, W = res
+    ntx = -(-W // TILE)
+    nty = -(-H // TILE)
+    T, K = tile_tris.shape
+
+    px_local = jnp.arange(TILE, dtype=jnp.float32) + 0.5
+    gy, gx = jnp.meshgrid(px_local, px_local, indexing='ij')  # (TILE, TILE)
+
+    tile_ids = jnp.arange(T, dtype=jnp.int32)
+    tile_x0 = (tile_ids % ntx).astype(jnp.float32) * TILE
+    tile_y0 = (tile_ids // ntx).astype(jnp.float32) * TILE
+
+    if z_floor is None:
+        z_floor_tiles = jnp.full((T, TILE, TILE), -BIG)
+    else:
+        zf = jnp.pad(z_floor, ((0, nty * TILE - H), (0, ntx * TILE - W)),
+                     constant_values=BIG)
+        z_floor_tiles = zf.reshape(nty, TILE, ntx, TILE).transpose(0, 2, 1, 3)
+        z_floor_tiles = z_floor_tiles.reshape(T, TILE, TILE)
+
+    def tile_fn(tids, x0, y0, zfl):
+        # tids: (K,), pixel coords (TILE, TILE)
+        safe = jnp.maximum(tids, 0)
+        ax, bx, cx = xs[safe].T  # (K,) each
+        ay, by, cy = ys[safe].T
+        az, bz, cz = zs[safe].T
+
+        px = (gx + x0)[None]    # (1, TILE, TILE)
+        py = (gy + y0)[None]
+
+        a = lambda v: v[:, None, None]
+        w0 = _edge(a(bx), a(by), a(cx), a(cy), px, py)
+        w1 = _edge(a(cx), a(cy), a(ax), a(ay), px, py)
+        w2 = _edge(a(ax), a(ay), a(bx), a(by), px, py)
+        area = _edge(a(ax), a(ay), a(bx), a(by), a(cx), a(cy))
+
+        pos = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        neg = (w0 <= 0) & (w1 <= 0) & (w2 <= 0)
+        inside = (pos | neg) & (jnp.abs(area) > 1e-12) & (tids >= 0)[:, None, None]
+
+        inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
+        l0 = w0 * inv_area
+        l1 = w1 * inv_area
+        l2 = 1.0 - l0 - l1
+        z = l0 * a(az) + l1 * a(bz) + l2 * a(cz)   # GL screen-linear depth
+
+        zok = (z > zfl[None] + 1e-7) & (z >= -1.0) & (z <= 1.0)
+        zcand = jnp.where(inside & zok, z, BIG)
+        best = jnp.argmin(zcand, axis=0)                       # (TILE, TILE)
+        best_z = jnp.take_along_axis(zcand, best[None], axis=0)[0]
+        best_tri = jnp.where(best_z < BIG, tids[best], -1)
+        return best_tri, jnp.where(best_z < BIG, best_z, BIG)
+
+    tri_tiles, z_tiles = jax.vmap(tile_fn)(tile_tris, tile_x0, tile_y0,
+                                           z_floor_tiles)
+    # (T, TILE, TILE) -> (H, W)
+    tri_img = tri_tiles.reshape(nty, ntx, TILE, TILE).transpose(0, 2, 1, 3)
+    tri_img = tri_img.reshape(nty * TILE, ntx * TILE)[:H, :W]
+    z_img = z_tiles.reshape(nty, ntx, TILE, TILE).transpose(0, 2, 1, 3)
+    z_img = z_img.reshape(nty * TILE, ntx * TILE)[:H, :W]
+    return tri_img, z_img
+
+
+def _barycentrics(v_clip, faces, tri_id, res):
+    """Differentiable perspective-correct barycentrics of the (fixed) winning
+    triangle at each pixel. tri_id is stop-gradient."""
+    H, W = res
+    x, y, z, inv_w = _screen_coords(v_clip, res)
+    safe = jnp.maximum(tri_id, 0)
+    f = faces[safe]                       # (H, W, 3)
+    ax, bx, cx = x[f[..., 0]], x[f[..., 1]], x[f[..., 2]]
+    ay, by, cy = y[f[..., 0]], y[f[..., 1]], y[f[..., 2]]
+    iwa, iwb, iwc = inv_w[f[..., 0]], inv_w[f[..., 1]], inv_w[f[..., 2]]
+
+    py, px = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32) + 0.5,
+                          jnp.arange(W, dtype=jnp.float32) + 0.5,
+                          indexing='ij')
+    w0 = _edge(bx, by, cx, cy, px, py)
+    w1 = _edge(cx, cy, ax, ay, px, py)
+    area = _edge(ax, ay, bx, by, cx, cy)
+    inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area,
+                               jnp.where(area >= 0, 1e-12, -1e-12))
+    l0 = w0 * inv_area
+    l1 = w1 * inv_area
+    l2 = 1.0 - l0 - l1
+    # perspective correction: weight by 1/w then renormalize
+    p0 = l0 * iwa
+    p1 = l1 * iwb
+    p2 = l2 * iwc
+    s = p0 + p1 + p2
+    s = jnp.where(jnp.abs(s) > 1e-12, s, 1e-12)
+    bary = jnp.stack([p0 / s, p1 / s, p2 / s], axis=-1)
+    zpix = l0 * z[f[..., 0]] + l1 * z[f[..., 1]] + l2 * z[f[..., 2]]
+    return bary, zpix
+
+
+def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
+              res: Tuple[int, int], face_mask: Optional[jnp.ndarray] = None,
+              num_layers: int = 1, K: int = 256):
+    """Rasterize one mesh. Returns a list of ``num_layers`` RasterOut
+    (depth-peeled far layers test strictly greater z, reference
+    render.py:290-297)."""
+    faces = faces.astype(jnp.int32)
+    F = faces.shape[0]
+    if face_mask is None:
+        face_mask = jnp.ones((F,), bool)
+
+    x, y, z, inv_w = _screen_coords(v_clip, res)
+    xs = jnp.stack([x[faces[:, 0]], x[faces[:, 1]], x[faces[:, 2]]], axis=1)
+    ys = jnp.stack([y[faces[:, 0]], y[faces[:, 1]], y[faces[:, 2]]], axis=1)
+    zs = jnp.stack([z[faces[:, 0]], z[faces[:, 1]], z[faces[:, 2]]], axis=1)
+
+    # behind-camera triangles are dropped (no near-plane clipping; DMTet
+    # objects are fully in front of the reference cameras)
+    wall = jnp.stack([v_clip[faces[:, k], 3] for k in range(3)], axis=1)
+    face_ok = face_mask & jnp.all(wall > 1e-6, axis=1)
+
+    xs_ = jax.lax.stop_gradient(xs)
+    ys_ = jax.lax.stop_gradient(ys)
+    zs_ = jax.lax.stop_gradient(zs)
+    tile_tris, _ = bin_triangles(xs_, ys_, face_ok, res, K)
+
+    layers = []
+    z_floor = None
+    for _ in range(num_layers):
+        tri_img, z_img = _rasterize_tiles(xs_, ys_, zs_, tile_tris, res,
+                                          z_floor)
+        tri_img = jax.lax.stop_gradient(tri_img)
+        bary, zpix = _barycentrics(v_clip, faces, tri_img, res)
+        valid = tri_img >= 0
+        bary = jnp.where(valid[..., None], bary, 0.0)
+        layers.append(RasterOut(tri_id=tri_img, bary=bary,
+                                zbuf=jnp.where(valid, zpix, BIG),
+                                valid=valid))
+        z_floor = jax.lax.stop_gradient(jnp.where(valid, z_img, BIG))
+    return layers
+
+
+def interpolate(attr: jnp.ndarray, rast: RasterOut, faces: jnp.ndarray
+                ) -> jnp.ndarray:
+    """Perspective-correct attribute interpolation (dr.interpolate
+    equivalent): attr (V, C) -> (H, W, C); zeros where empty."""
+    safe = jnp.maximum(rast.tri_id, 0)
+    f = faces.astype(jnp.int32)[safe]                # (H, W, 3)
+    vals = attr[f]                                   # (H, W, 3, C)
+    out = jnp.sum(vals * rast.bary[..., None], axis=-2)
+    return jnp.where(rast.valid[..., None], out, 0.0)
+
+
+def uv_derivatives(texc: jnp.ndarray) -> jnp.ndarray:
+    """Screen-space uv derivative estimate (du/dx, du/dy, dv/dx, dv/dy) via
+    one-pixel forward differences — feeds mip selection like nvdiffrast's
+    rast_db (approximation; exact analytic derivs not needed by the
+    reference's fitting losses)."""
+    du_dx = jnp.diff(texc, axis=1, append=texc[:, -1:])
+    du_dy = jnp.diff(texc, axis=0, append=texc[-1:])
+    return jnp.concatenate([du_dx[..., :1], du_dy[..., :1],
+                            du_dx[..., 1:2], du_dy[..., 1:2]], axis=-1)
+
+
+def antialias_weight(rast: RasterOut) -> jnp.ndarray:
+    """Soft coverage in [0, 1]: box-filtered hard mask (3x3), a cheap
+    stand-in for nvdiffrast's analytic edge antialiasing (dr.antialias).
+    Constant w.r.t. geometry (stop-gradient); silhouette gradients come from
+    the depth/chamfer losses in the fitting objective instead."""
+    m = rast.valid.astype(jnp.float32)
+    k = jnp.ones((3, 3), jnp.float32) / 9.0
+    sm = jax.scipy.signal.convolve2d(m, k, mode='same')
+    return jax.lax.stop_gradient(sm)

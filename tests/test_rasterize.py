@@ -1,0 +1,166 @@
+"""Rasterizer tests vs a brute-force per-pixel numpy oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meshdiffusion_tpu.render.rasterize import (rasterize, interpolate,
+                                                bin_triangles)
+from meshdiffusion_tpu.render import utils as rutils
+
+
+def oracle_raster(v_clip, faces, res):
+    """Brute force: for each pixel test every triangle, keep min depth."""
+    H, W = res
+    w = v_clip[:, 3]
+    x = (v_clip[:, 0] / w * 0.5 + 0.5) * W
+    y = (v_clip[:, 1] / w * 0.5 + 0.5) * H
+    z = v_clip[:, 2] / w
+    tri_id = -np.ones((H, W), np.int64)
+    zbuf = np.full((H, W), 1e30)
+    for t, f in enumerate(faces):
+        ax, ay, az = x[f[0]], y[f[0]], z[f[0]]
+        bx, by, bz = x[f[1]], y[f[1]], z[f[1]]
+        cx, cy, cz = x[f[2]], y[f[2]], z[f[2]]
+        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        if abs(area) < 1e-12:
+            continue
+        for py in range(H):
+            for px in range(W):
+                qx, qy = px + 0.5, py + 0.5
+                w0 = (cx - bx) * (qy - by) - (cy - by) * (qx - bx)
+                w1 = (ax - cx) * (qy - cy) - (ay - cy) * (qx - cx)
+                w2 = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+                pos = w0 >= 0 and w1 >= 0 and w2 >= 0
+                neg = w0 <= 0 and w1 <= 0 and w2 <= 0
+                if not (pos or neg):
+                    continue
+                l0, l1 = w0 / area, w1 / area
+                zz = l0 * az + l1 * bz + (1 - l0 - l1) * cz
+                if -1 <= zz <= 1 and zz < zbuf[py, px]:
+                    zbuf[py, px] = zz
+                    tri_id[py, px] = t
+    return tri_id, zbuf
+
+
+def two_triangles():
+    """Two triangles, the second in front of (closer than) the first."""
+    v = np.array([
+        [-0.5, -0.5, 0.5, 1.0], [0.5, -0.5, 0.5, 1.0], [0.0, 0.6, 0.5, 1.0],
+        [-0.2, -0.2, 0.0, 1.0], [0.6, -0.2, 0.0, 1.0], [0.2, 0.5, 0.0, 1.0],
+    ], np.float32)
+    f = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    return v, f
+
+
+def test_coverage_matches_oracle():
+    v, f = two_triangles()
+    res = (40, 40)
+    layers = rasterize(jnp.asarray(v), jnp.asarray(f), res)
+    got_tri = np.asarray(layers[0].tri_id)
+    ref_tri, ref_z = oracle_raster(v, f, res)
+    np.testing.assert_array_equal(got_tri, ref_tri)
+    got_z = np.asarray(layers[0].zbuf)
+    m = ref_tri >= 0
+    np.testing.assert_allclose(got_z[m], ref_z[m], atol=1e-5)
+
+
+def test_depth_peeling_second_layer():
+    v, f = two_triangles()
+    res = (40, 40)
+    l0, l1 = rasterize(jnp.asarray(v), jnp.asarray(f), res, num_layers=2)
+    t0 = np.asarray(l0.tri_id)
+    t1 = np.asarray(l1.tri_id)
+    overlap = (t0 == 1)
+    ref_tri, _ = oracle_raster(v, f[:1], res)  # only triangle 0
+    behind = (ref_tri == 0) & overlap
+    assert behind.sum() > 0
+    # wherever both triangles cover, layer 2 sees the far one (id 0)
+    np.testing.assert_array_equal(t1[behind], 0)
+    # layer-2 depth strictly greater
+    assert (np.asarray(l1.zbuf)[behind] > np.asarray(l0.zbuf)[behind]).all()
+
+
+def test_interpolation_barycentric_values():
+    v, f = two_triangles()
+    res = (32, 32)
+    layers = rasterize(jnp.asarray(v), jnp.asarray(f), res)
+    rast = layers[0]
+    # interpolating the vertex positions reproduces pixel-center x/y
+    attr = jnp.asarray(v[:, :2])
+    xy = np.asarray(interpolate(attr, rast, jnp.asarray(f)))
+    valid = np.asarray(rast.valid)
+    ys, xs = np.nonzero(valid)
+    # pixel center in NDC: ((px+0.5)/W - 0.5) * 2
+    ndc_x = ((xs + 0.5) / res[1] - 0.5) * 2
+    ndc_y = ((ys + 0.5) / res[0] - 0.5) * 2
+    np.testing.assert_allclose(xy[ys, xs, 0], ndc_x, atol=1e-4)
+    np.testing.assert_allclose(xy[ys, xs, 1], ndc_y, atol=1e-4)
+
+
+def test_perspective_correct_interpolation():
+    """A triangle with varying w: interpolation must be rational, not linear."""
+    v = np.array([[-0.8, -0.8, 0.0, 1.0],
+                  [0.8, -0.8, 0.0, 1.0],
+                  [0.0, 0.8, 0.0, 4.0]], np.float32)
+    v[2, :3] *= 4.0  # same NDC position, bigger w
+    f = np.array([[0, 1, 2]], np.int32)
+    res = (32, 32)
+    rast = rasterize(jnp.asarray(v), jnp.asarray(f), res)[0]
+    attr = jnp.asarray([[0.0], [0.0], [1.0]], jnp.float32)
+    out = np.asarray(interpolate(attr, rast, jnp.asarray(f)))
+    valid = np.asarray(rast.valid)
+    assert valid.sum() > 50
+    # at the bottom edge midpoint the value is 0; near the top vertex -> 1.
+    # perspective-correct: value at the screen-space midpoint toward the
+    # top vertex is LESS than 0.5 (w=4 pulls weight away)
+    H, W = res
+    mid_row = valid[H // 2]
+    if mid_row.any():
+        vals = out[H // 2, mid_row, 0]
+        assert vals.mean() < 0.5
+
+
+def test_gradients_flow_to_vertices():
+    v, f = two_triangles()
+    res = (24, 24)
+
+    def loss(verts):
+        rast = rasterize(verts, jnp.asarray(f), res)[0]
+        img = interpolate(verts[:, :3], rast, jnp.asarray(f))
+        return jnp.sum(img ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(v))
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
+
+
+def test_face_mask_excludes():
+    v, f = two_triangles()
+    res = (32, 32)
+    rast = rasterize(jnp.asarray(v), jnp.asarray(f), res,
+                     face_mask=jnp.asarray([True, False]))[0]
+    assert not (np.asarray(rast.tri_id) == 1).any()
+    assert (np.asarray(rast.tri_id) == 0).any()
+
+
+def test_binning_counts():
+    v, f = two_triangles()
+    res = (64, 64)
+    w = np.asarray(v[:, 3])
+    x = (v[:, 0] / w * 0.5 + 0.5) * res[1]
+    y = (v[:, 1] / w * 0.5 + 0.5) * res[0]
+    xs = jnp.asarray(np.stack([x[f[:, k]] for k in range(3)], 1))
+    ys = jnp.asarray(np.stack([y[f[:, k]] for k in range(3)], 1))
+    tile_tris, counts = bin_triangles(xs, ys, jnp.asarray([True, True]),
+                                      res, K=8)
+    assert int(counts.sum()) >= 2  # both triangles land somewhere
+    assert (np.asarray(tile_tris) < 2).all()
+
+
+def test_empty_scene():
+    v = np.array([[0.0, 0.0, 0.0, -1.0]] * 3, np.float32)  # behind camera
+    f = np.array([[0, 1, 2]], np.int32)
+    rast = rasterize(jnp.asarray(v), jnp.asarray(f), (16, 16))[0]
+    assert not np.asarray(rast.valid).any()
