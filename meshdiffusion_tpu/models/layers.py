@@ -68,26 +68,85 @@ class NIN(nn.Module):
 
 
 class Conv3D(nn.Module):
-    """NDHWC conv wrapper with DDPM init and optional compute dtype."""
+    """NDHWC 3D conv with DDPM init and optional compute dtype.
+
+    ``impl='conv2d'`` (default) lowers the k*k*k conv to ONE 2D k*k conv on
+    (B*D, H, W, k*C): the depth-kernel taps become channel groups gathered by
+    shifting the input along D. On TPU this avoids XLA's 3D-convolution
+    layout assignments, which interleave batch into the middle of the shape
+    and surround every conv with transposes (measured 3.6x faster end-to-end
+    on the res64 U-Net than rank-3 conv_general_dilated, single v5e chip).
+    Parameters remain in the canonical (kd, kh, kw, I, O) layout so
+    checkpoints are implementation-independent.
+    """
     features: int
     kernel: int = 3
     stride: int = 1
     padding: Any = 'SAME'
     init_scale: float = 1.0
     dtype: Dtype = jnp.float32
+    impl: str = 'conv2d'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel,) * 3,
-            strides=(self.stride,) * 3,
-            padding=self.padding,
-            kernel_init=ddpm_init(self.init_scale),
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name='conv')(x)
+        if self.impl == 'native' or self.stride != 1 or self.padding != 'SAME':
+            return nn.Conv(
+                features=self.features,
+                kernel_size=(self.kernel,) * 3,
+                strides=(self.stride,) * 3,
+                padding=self.padding,
+                kernel_init=ddpm_init(self.init_scale),
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name='conv')(x)
+        return _Conv3DAs2D(features=self.features, kernel=self.kernel,
+                           init_scale=self.init_scale, dtype=self.dtype,
+                           name='conv')(x)
+
+
+class _Conv3DAs2D(nn.Module):
+    """SAME-padded stride-1 k^3 conv as one 2D conv on (B*D, H, W, k*C).
+
+    Params are named 'kernel'/'bias' with the canonical (k, k, k, I, O)
+    kernel layout — identical tree paths and shapes to nn.Conv, so
+    checkpoints are interchangeable between implementations.
+    """
+    features: int
+    kernel: int = 3
+    init_scale: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel
+        B, D, H, W, C = x.shape
+        w = self.param('kernel', ddpm_init(self.init_scale),
+                       (k, k, k, C, self.features))
+        b = self.param('bias', nn.initializers.zeros, (self.features,))
+        x = x.astype(self.dtype)
+        # gather the k depth taps as channel groups: (B, D, H, W, k*C)
+        half = k // 2
+        taps = []
+        for kd in range(k):
+            off = kd - half
+            if off < 0:
+                z = jnp.zeros_like(x[:, :(-off)])
+                taps.append(jnp.concatenate([z, x[:, :off]], axis=1))
+            elif off > 0:
+                z = jnp.zeros_like(x[:, :off])
+                taps.append(jnp.concatenate([x[:, off:], z], axis=1))
+            else:
+                taps.append(x)
+        xm = jnp.concatenate(taps, axis=-1)
+        # kernel (kd, kh, kw, I, O) -> (kh, kw, kd*I, O), matching tap order
+        km = w.transpose(1, 2, 0, 3, 4).reshape(k, k, k * C, self.features)
+        y = jax.lax.conv_general_dilated(
+            xm.reshape(B * D, H, W, k * C), km.astype(self.dtype), (1, 1),
+            'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.float32)
+        y = y.astype(self.dtype) + b.astype(self.dtype)
+        return y.reshape(B, D, H, W, self.features)
 
 
 class GroupNorm(nn.Module):
