@@ -44,6 +44,9 @@ def get_default_config() -> ml_collections.ConfigDict:
     sampling.method = 'pc'
     sampling.predictor = 'ancestral_sampling'
     sampling.corrector = 'none'
+    # >0: run the reverse loop as host-dispatched segments of this many
+    # steps (keeps single device programs short for remote TPU workers)
+    sampling.segment_steps = 0
 
     # evaluation
     config.eval = evaluate = ml_collections.ConfigDict()

@@ -234,7 +234,8 @@ def get_pc_sampler(sde: VPSDE,
                    grid_mask: Optional[jnp.ndarray] = None,
                    return_traj: bool = False,
                    traj_start: int = 700,
-                   traj_every: int = 10):
+                   traj_every: int = 10,
+                   segment_steps: Optional[int] = None):
     """Build a jittable PC sampling function.
 
     Args:
@@ -248,6 +249,11 @@ def get_pc_sampler(sde: VPSDE,
     parameters already bound), `partial`/`partial_mask` are (1, R, R, R, 1)
     SDF-channel grids for conditional inpainting, and samples are
     channels-last (B, R, R, R, C).
+
+    ``segment_steps``: when set, the reverse loop runs as ceil(N/L) host
+    dispatches of one compiled L-step scan (steps beyond N are masked
+    no-ops). Use when single device programs must stay short (e.g. remote
+    TPU workers with execution watchdogs); None = one fused scan.
     """
     if probability_flow:
         raise NotImplementedError("probability_flow PC sampling is not used by "
@@ -294,24 +300,40 @@ def get_pc_sampler(sde: VPSDE,
 
         def body(carry, i):
             x, x_mean_prev, key, traj = carry
-            row = {k: v[i] for k, v in rows.items()}
+            active = i < sde.N - 1
+            ii = jnp.minimum(i, sde.N - 1)
+            row = {k: v[ii] for k, v in rows.items()}
             key, ck, pk = jax.random.split(key, 3)
-            x, x_mean = corrector_update(model_fn, row, x, ck)
-            x, x_mean = x * grid_mask, x_mean * grid_mask
-            x, x_mean = predictor_update(model_fn, row, x, pk)
-            x, x_mean = x * grid_mask, x_mean * grid_mask
+            x_new, x_mean = corrector_update(model_fn, row, x, ck)
+            x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
+            x_new, x_mean = predictor_update(model_fn, row, x_new, pk)
+            x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
             if return_traj:
-                want = (i >= traj_start) & (i % traj_every == 0)
+                want = active & (i >= traj_start) & (i % traj_every == 0)
                 slot = jnp.clip((i - traj_start) // traj_every, 0, max(n_traj - 1, 0))
-                x0 = compute_xzero(model_fn, x, row)
+                x0 = compute_xzero(model_fn, x_new, row)
                 traj = jax.lax.cond(
                     want,
                     lambda tr: jax.lax.dynamic_update_index_in_dim(tr, x0, slot, 0),
                     lambda tr: tr, traj)
+            x = jnp.where(active, x_new, x)
+            x_mean = jnp.where(active, x_mean, x_mean_prev)
             return (x, x_mean, key, traj), None
 
-        (x, x_mean, _, traj), _ = jax.lax.scan(
-            body, (x, x, key, traj0), jnp.arange(sde.N - 1), unroll=1)
+        def run_scan(carry, start, length):
+            return jax.lax.scan(body, carry, start + jnp.arange(length),
+                                unroll=1)[0]
+
+        carry = (x, x, key, traj0)
+        total = sde.N - 1
+        if segment_steps is None:
+            carry = run_scan(carry, jnp.asarray(0), total)
+        else:
+            L = segment_steps
+            seg_fn = jax.jit(lambda c, s: run_scan(c, s, L))
+            for s in range(0, total, L):
+                carry = seg_fn(carry, jnp.asarray(s))
+        x, x_mean, _, traj = carry
         out = x_mean if denoise else x
         if return_traj:
             return traj, sde.N * (n_steps + 1)
@@ -342,25 +364,41 @@ def get_pc_sampler(sde: VPSDE,
 
         def body(carry, i):
             x, x_mean_prev, key = carry
-            row = {k: v[i] for k, v in rows.items()}
+            active = i < sde.N
+            ii = jnp.minimum(i, sde.N - 1)
+            row = {k: v[ii] for k, v in rows.items()}
             key, ck, pk, nk = jax.random.split(key, 4)
-            x, x_mean = corrector_update(model_fn, row, x, ck)
-            x, x_mean = x * grid_mask, x_mean * grid_mask
-            x, x_mean = predictor_update(model_fn, row, x, pk)
-            x, x_mean = x * grid_mask, x_mean * grid_mask
+            x_new, x_mean = corrector_update(model_fn, row, x, ck)
+            x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
+            x_new, x_mean = predictor_update(model_fn, row, x_new, pk)
+            x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
 
             # mask-and-replace with fresh noise at the current level
             noise = jax.random.normal(nk, p.shape, dtype=jnp.float32)
             noised = row['marg_coeff'] * p + row['marg_std'] * noise
-            x0 = (x[..., 0] * (1 - m) + noised * m) * gm0
+            x0 = (x_new[..., 0] * (1 - m) + noised * m) * gm0
             do = (i < freeze_iters) & (i != sde.N - 1)
-            new_ch0 = jnp.where(do, x0, x[..., 0])
-            x = x.at[..., 0].set(new_ch0)
-            x_mean = x_mean.at[..., 0].set(jnp.where(do, new_ch0, x_mean[..., 0]))
+            new_ch0 = jnp.where(do, x0, x_new[..., 0])
+            x_new = x_new.at[..., 0].set(new_ch0)
+            x_mean = x_mean.at[..., 0].set(
+                jnp.where(do, new_ch0, x_mean[..., 0]))
+            x = jnp.where(active, x_new, x)
+            x_mean = jnp.where(active, x_mean, x_mean_prev)
             return (x, x_mean, key), None
 
-        (x, x_mean, _), _ = jax.lax.scan(body, (x, x, key), jnp.arange(sde.N),
-                                         unroll=1)
+        def run_scan(carry, start, length):
+            return jax.lax.scan(body, carry, start + jnp.arange(length),
+                                unroll=1)[0]
+
+        carry = (x, x, key)
+        if segment_steps is None:
+            carry = run_scan(carry, jnp.asarray(0), sde.N)
+        else:
+            L = segment_steps
+            seg_fn = jax.jit(lambda c, s: run_scan(c, s, L))
+            for s in range(0, sde.N, L):
+                carry = seg_fn(carry, jnp.asarray(s))
+        x, x_mean, _ = carry
         out = x_mean if denoise else x
         return out, sde.N * (n_steps + 1)
 
@@ -464,6 +502,7 @@ def get_sampling_fn(config, sde: VPSDE, shape, inverse_scaler=None,
                     eps: float = 1e-3, grid_mask=None, return_traj=False):
     """Config-driven sampler factory (reference sampling.py:83-132)."""
     name = config.sampling.method.lower()
+    segment = config.sampling.get('segment_steps', 0) or None
     if name == 'pc':
         return get_pc_sampler(
             sde=sde, shape=shape,
@@ -474,7 +513,8 @@ def get_sampling_fn(config, sde: VPSDE, shape, inverse_scaler=None,
             n_steps=config.sampling.n_steps_each,
             probability_flow=config.sampling.probability_flow,
             denoise=config.sampling.noise_removal,
-            eps=eps, grid_mask=grid_mask, return_traj=return_traj)
+            eps=eps, grid_mask=grid_mask, return_traj=return_traj,
+            segment_steps=segment)
     if name == 'ddim':
         return get_ddim_sampler(sde=sde, shape=shape,
                                 denoise=config.sampling.noise_removal,

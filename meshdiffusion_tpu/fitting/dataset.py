@@ -1,0 +1,111 @@
+"""On-the-fly ground-truth renders for fitting.
+
+Counterpart of reference ``nvdiffrec/lib/dataset/dataset_mesh.py`` (random
+poses:78-94, circular validation poses:67-76, target dict:132-163): the GT
+mesh is rendered with the same renderer at random cameras (radius fixed,
+fov 45 deg, random rigid jitter +-0.2) and the target dict carries images,
+depths, masks, and 50k surface samples.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.fit_losses import sample_points
+from ..render import mesh as mesh_mod
+from ..render import utils as U
+from ..render.render import render_mesh
+
+
+@dataclasses.dataclass
+class TargetRenderer:
+    ref_mesh: mesh_mod.Mesh
+    envlight: object
+    cam_radius: float = 2.0
+    train_res: tuple = (512, 512)
+    display_res: tuple = (512, 512)
+    cam_near_far: tuple = (0.1, 1000.0)
+    fovy: float = float(np.deg2rad(45))
+    spp: int = 1
+    layers: int = 2
+    random_lgt: bool = False
+    flat_shading: bool = False
+    num_surface_samples: int = 50000
+
+    def random_cameras(self, batch: int, rng: np.random.Generator):
+        """Random training poses (reference dataset_mesh.py:78-94)."""
+        iter_res = self.train_res
+        proj = U.perspective(self.fovy, iter_res[1] / iter_res[0],
+                             *self.cam_near_far)
+        mvs, mvps, camposes = [], [], []
+        for _ in range(batch):
+            mv = U.translate(0, 0, -self.cam_radius) \
+                @ U.random_rotation_translation(0.2, rng)
+            mvs.append(mv)
+            mvps.append(proj @ mv)
+            camposes.append(np.linalg.inv(mv)[:3, 3])
+        return (np.stack(mvs).astype(np.float32),
+                np.stack(mvps).astype(np.float32),
+                np.stack(camposes).astype(np.float32))
+
+    def rotate_camera(self, itr: int):
+        """Validation pose on a circle (reference dataset_mesh.py:67-76)."""
+        proj = U.perspective(self.fovy,
+                             self.display_res[1] / self.display_res[0],
+                             *self.cam_near_far)
+        ang = (itr / 50) * np.pi * 2
+        mv = U.translate(0, 0, -self.cam_radius) @ (U.rotate_x(-0.4)
+                                                    @ U.rotate_y(ang))
+        mvp = proj @ mv
+        campos = np.linalg.inv(mv)[:3, 3]
+        return (mv[None].astype(np.float32), mvp[None].astype(np.float32),
+                campos[None].astype(np.float32))
+
+    def render_target(self, mvp, campos, key: jax.Array,
+                      envlight_transform=None) -> Dict:
+        """Render the GT mesh into a target dict (reference
+        dataset_mesh.py:119-163)."""
+        out = render_mesh(self.ref_mesh, mvp, campos, self.envlight,
+                          self.train_res, spp=self.spp,
+                          num_layers=self.layers,
+                          xfm_lgt=envlight_transform,
+                          flat_shading=self.flat_shading)
+        spts = sample_points(self.ref_mesh.v_pos, self.ref_mesh.t_pos_idx,
+                             self.num_surface_samples, key,
+                             face_mask=self.ref_mesh.face_mask)
+        target = {
+            'mv': None,
+            'mvp': jnp.asarray(mvp),
+            'campos': jnp.asarray(campos),
+            'resolution': self.train_res,
+            'spp': self.spp,
+            'img': out['shaded'],
+            'img_second': out['shaded_second'],
+            'spts': spts,
+            'vpts': self.ref_mesh.v_pos,
+            'faces': self.ref_mesh.t_pos_idx,
+            'depth': out['depth'],
+            'depth_second': out['depth_second'],
+            'normal': out['normal'],
+            'normal_second': out['normal_second'],
+            'geo_normal': out['geo_normal'],
+            'geo_viewdir': out['geo_viewdir'],
+            'pos': out['pos'],
+            'mask': out['mask'],
+            'mask_cont': out['mask_cont'],
+            'envlight_transform': envlight_transform,
+        }
+        return target
+
+    def random_target(self, batch: int, np_rng: np.random.Generator,
+                      key: jax.Array) -> Dict:
+        mv, mvp, campos = self.random_cameras(batch, np_rng)
+        xfm = None
+        if self.random_lgt:
+            xfm = U.random_rotation_translation(0.0, np_rng)[None]
+        return self.render_target(mvp, campos, key, envlight_transform=xfm)

