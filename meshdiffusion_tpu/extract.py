@@ -65,15 +65,50 @@ def extract_grid(grid: np.ndarray, tet_grid: TetGrid, out_path: str,
     return verts, faces
 
 
+def render_viz(verts: np.ndarray, faces: np.ndarray, out_png: str,
+               angle_ind: int = 25, display_res=(512, 512),
+               cam_radius: float = 3.0) -> None:
+    """Sanity PNG of the raw mesh at a circular pose (reference
+    eval.py:182-201,434-438: rotate_scene + validate_itr with the default
+    diffuse material under a white environment)."""
+    import jax.numpy as jnp
+    from .render import mesh as mesh_mod
+    from .render import utils as rutils
+    from .render.light import EnvironmentLight
+    from .render.material import default_material
+    from .render.render import render_mesh
+
+    m = mesh_mod.Mesh(v_pos=jnp.asarray(verts),
+                      t_pos_idx=jnp.asarray(faces.astype(np.int32)),
+                      material=default_material())
+    m = mesh_mod.auto_normals(m)
+    proj = rutils.perspective(np.deg2rad(45),
+                              display_res[1] / display_res[0], 0.1, 1000.0)
+    ang = (angle_ind / 50) * np.pi * 2
+    mv = rutils.translate(0, 0, -cam_radius) @ (rutils.rotate_x(-0.4)
+                                                @ rutils.rotate_y(ang))
+    mvp = (proj @ mv)[None]
+    campos = np.linalg.inv(mv)[:3, 3][None].astype(np.float32)
+    light = EnvironmentLight(jnp.ones((6, 16, 16, 3)))
+    light.build_mips()
+    out = render_mesh(m, jnp.asarray(mvp), jnp.asarray(campos), light,
+                      display_res, num_layers=1)
+    img = rutils.rgb_to_srgb(out['shaded'][0, ..., :3])
+    rutils.save_image(out_png, np.asarray(img))
+
+
 def extract_batch(sample_path: str, out_dir: str, resolution: int = 64,
                   mesh_scale: float = 2.1, deform_scale: float = 1.0,
                   num_smooth_steps: int = 3, unnormalized_sdf: bool = False,
-                  tet_root: Optional[str] = None, viz_name: str = 'viz'):
+                  tet_root: Optional[str] = None, viz_name: str = 'viz',
+                  save_viz: bool = False, angle_ind: int = 25):
     """All samples in one .npy batch file -> .obj meshes
     (reference eval.py:400-456)."""
     tg = TetGrid.load(resolution, tet_root)
     mesh_dir = os.path.join(out_dir, 'mesh')
     os.makedirs(mesh_dir, exist_ok=True)
+    if save_viz:
+        os.makedirs(os.path.join(out_dir, 'viz'), exist_ok=True)
     data_all = np.load(sample_path)
     logger.info('shape of generated data %s', data_all.shape)
     paths = []
@@ -82,6 +117,9 @@ def extract_batch(sample_path: str, out_dir: str, resolution: int = 64,
         v, f = extract_grid(data_all[i], tg, p, mesh_scale, deform_scale,
                             num_smooth_steps, unnormalized_sdf)
         logger.info('%s: %d verts, %d faces', p, len(v), len(f))
+        if save_viz and len(f):
+            png = os.path.join(out_dir, 'viz', f'{viz_name}_{i:06d}.png')
+            render_viz(v, f, png, angle_ind=angle_ind)
         paths.append(p)
     return paths
 

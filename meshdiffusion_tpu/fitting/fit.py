@@ -340,7 +340,7 @@ def _mt_vertex_edges(grid: TetGrid) -> jnp.ndarray:
 def _save_dmt_dict(path: str, d: Dict[str, np.ndarray]) -> str:
     try:
         import torch
-        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in d.items()},
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)).copy()) for k, v in d.items()},
                    path + '.pt')
         return path + '.pt'
     except ImportError:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import importlib.util
 import logging
+import os
 import sys
 
 
@@ -68,7 +69,8 @@ def main(argv=None):
                         help='preset name or config .py file')
     parser.add_argument('--mode', required=True,
                         choices=['train', 'uncond_gen', 'uncond_gen_interp',
-                                 'cond_gen', 'extract'])
+                                 'cond_gen', 'extract', 'fit_dmtets',
+                                 'fit_singleview'])
     parser.add_argument('--idx', default='0')
     parser.add_argument('--seed', type=int, default=None)
     # extract-mode flags (reference nvdiffrec/eval.py argparse)
@@ -79,6 +81,18 @@ def main(argv=None):
     parser.add_argument('--deform_scale', type=float, default=1.0)
     parser.add_argument('--num_smooth_steps', type=int, default=3)
     parser.add_argument('--unnormalized_sdf', action='store_true')
+    parser.add_argument('--save_viz', action='store_true',
+                        help='extract: also render a sanity PNG per mesh')
+    parser.add_argument('--angle_ind', type=int, default=25)
+    # fitting flags (reference nvdiffrec argparse)
+    parser.add_argument('--meta_path', default=None,
+                        help='fit modes: json list of mesh paths, or one .obj')
+    parser.add_argument('--fit_config', default=None,
+                        help='fit modes: nvdiffrec-style json config')
+    parser.add_argument('--iter', type=int, default=5000)
+    parser.add_argument('--batch', type=int, default=4)
+    parser.add_argument('--index', type=int, default=0)
+    parser.add_argument('--split_size', type=int, default=1)
 
     # split off dotted --config.x=y overrides before argparse sees them
     overrides, rest = [], []
@@ -97,7 +111,47 @@ def main(argv=None):
                       resolution=args.resolution, mesh_scale=args.mesh_scale,
                       deform_scale=args.deform_scale,
                       num_smooth_steps=args.num_smooth_steps,
-                      unnormalized_sdf=args.unnormalized_sdf)
+                      unnormalized_sdf=args.unnormalized_sdf,
+                      save_viz=args.save_viz, angle_ind=args.angle_ind)
+        return
+
+    if args.mode in ('fit_dmtets', 'fit_singleview'):
+        import json as _json
+        from .fitting.fit import FitConfig, fit_one_mesh
+        assert args.meta_path, '--meta_path required for fit modes'
+        fcfg = FitConfig(iter=args.iter, batch=args.batch)
+        if args.fit_config:
+            with open(args.fit_config) as f:
+                for k, v in _json.load(f).items():
+                    if hasattr(fcfg, k):
+                        setattr(fcfg, k, tuple(v) if isinstance(v, list) else v)
+        if args.meta_path.endswith('.obj'):
+            mesh_list = [args.meta_path]
+        else:
+            with open(args.meta_path) as f:
+                mesh_list = _json.load(f)
+        if args.mode == 'fit_singleview':
+            from .fitting.singleview import fit_singleview
+            fit_singleview(mesh_list[args.index], fcfg, args.out_dir,
+                           angle_ind=args.angle_ind, seed=args.seed or 0)
+        else:
+            for k in range(args.split_size):
+                gi = k + args.index * args.split_size
+                if gi >= len(mesh_list):
+                    break
+                done = os.path.join(args.out_dir,
+                                    f'tets/dmt_dict_{gi:05d}.pt')
+                if os.path.exists(done) or os.path.exists(
+                        done.replace('.pt', '.npz')):
+                    continue
+                try:
+                    fit_one_mesh(mesh_list[gi], fcfg, args.out_dir, gi,
+                                 seed=args.seed or 0)
+                except Exception:
+                    import traceback
+                    logging.error('fit %d failed\n%s', gi,
+                                  traceback.format_exc())
+                    continue
         return
 
     config = _apply_overrides(_load_config(args.config), overrides)
