@@ -44,7 +44,7 @@ def main():
     from meshdiffusion_tpu.geometry.tet_grid import TetGrid
 
     steps = int(os.environ.get('BENCH_STEPS', '1000'))
-    batch = int(os.environ.get('BENCH_BATCH', '4'))
+    batch = int(os.environ.get('BENCH_BATCH', '1'))
 
     cfg = get_config('res64')
     cfg.model.num_scales = steps

@@ -50,21 +50,33 @@ def load_grid_mask(config) -> np.ndarray:
 
 
 class MetricWriter:
-    """Minimal TensorBoard-format-free scalar logger (JSONL + stdout)."""
+    """Scalar logger: JSONL always, plus TensorBoard events when available
+    (reference trainer.py:32-33 writes TB summaries)."""
 
     def __init__(self, workdir: str):
         os.makedirs(workdir, exist_ok=True)
         self.path = os.path.join(workdir, 'metrics.jsonl')
         self._fh = open(self.path, 'a')
+        self._tb = None
+        try:
+            from torch.utils import tensorboard
+            self._tb = tensorboard.SummaryWriter(
+                os.path.join(workdir, 'tensorboard'))
+        except Exception:
+            pass
 
     def scalar(self, tag: str, value: float, step: int):
         import json
         self._fh.write(json.dumps({'tag': tag, 'value': float(value),
                                    'step': int(step), 'time': time.time()}) + "\n")
         self._fh.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
 
     def close(self):
         self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def train(config, max_steps: int | None = None):

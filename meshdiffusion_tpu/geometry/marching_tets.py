@@ -98,6 +98,38 @@ def marching_tets(grid: TetGrid, v_pos: jnp.ndarray, sdf: jnp.ndarray
                               valid_vert_mask=valid_vert)
 
 
+def map_uv(grid: TetGrid) -> Tuple[np.ndarray, np.ndarray]:
+    """Static per-tet UV chart layout (reference dmtet.py:70-99): each tet
+    owns a 4-corner square cell in a sqrt(num_tets)-sized chart atlas; the
+    two possible triangles of a tet index corners (0,1,2)/(0,2,3).
+
+    Returns (uvs (N*N*4, 2) f32, uv_idx (2*T, 3) i32) aligned with the fixed
+    face slots of ``marching_tets`` (slot k -> tet k//2, tri k%2). Everything
+    is static per grid resolution, so it is computed once on host.
+    """
+    num_tets = grid.num_tets
+    N = int(np.ceil(np.sqrt((num_tets * 2 + 1) // 2)))
+    tex_y, tex_x = np.meshgrid(
+        np.linspace(0, 1 - 1 / N, N, dtype=np.float32),
+        np.linspace(0, 1 - 1 / N, N, dtype=np.float32), indexing='ij')
+    pad = 0.9 / N
+    uvs = np.stack([tex_x, tex_y,
+                    tex_x + pad, tex_y,
+                    tex_x + pad, tex_y + pad,
+                    tex_x, tex_y + pad], axis=-1).reshape(-1, 2)
+
+    face_gidx = np.arange(2 * num_tets, dtype=np.int64)
+    tet_idx_raw = face_gidx // 2
+    x = tet_idx_raw % N
+    y = tet_idx_raw // N
+    tet_idx = y * N + x
+    tri_idx = face_gidx % 2
+    uv_idx = np.stack([tet_idx * 4,
+                       tet_idx * 4 + tri_idx + 1,
+                       tet_idx * 4 + tri_idx + 2], axis=-1)
+    return uvs.astype(np.float32), uv_idx.astype(np.int32)
+
+
 def compact_mesh(out: MarchingTetsOutput) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side compaction of a padded marching-tets output to dense
     (verts, faces) numpy arrays, with face winding identical to the

@@ -71,13 +71,19 @@ class TetGrid:
     @staticmethod
     @functools.lru_cache(maxsize=4)
     def load(resolution: int = 64, tet_dir: Optional[str] = None) -> "TetGrid":
-        """Load ``{R}_tets_cropped.npz`` and precompute static tables."""
+        """Load ``{R}_tets_cropped.npz``; generate a Kuhn-lattice grid with
+        the identical vertex lattice when the asset is absent (the reference
+        ships only the 64 grid; its 128 grid is a missing large blob)."""
         tet_dir = tet_dir or _DEFAULT_TET_DIR
         path = os.path.join(tet_dir, f'{resolution}_tets_cropped.npz')
-        data = np.load(path)
-        return TetGrid.from_arrays(resolution,
-                                   np.asarray(data['vertices'], np.float32),
-                                   np.asarray(data['indices'], np.int32))
+        if os.path.exists(path):
+            data = np.load(path)
+            return TetGrid.from_arrays(
+                resolution, np.asarray(data['vertices'], np.float32),
+                np.asarray(data['indices'], np.int32))
+        from .generate_tets import generate_tet_grid
+        verts, tets = generate_tet_grid(resolution)
+        return TetGrid.from_arrays(resolution, verts, tets)
 
     @staticmethod
     def from_arrays(resolution: int, verts: np.ndarray, indices: np.ndarray

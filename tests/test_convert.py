@@ -61,3 +61,36 @@ def test_save_grid_mask(tiny_tet_grid, tmp_path, monkeypatch):
     m = np.load(p)
     assert m.shape == (tiny_tet_grid.resolution,) * 3
     assert m.sum() == tiny_tet_grid.num_verts
+
+
+def test_generate_tet_grid_matches_reference_lattice():
+    """Generated 64-grid vertex lattice == bundled quartet asset's lattice."""
+    from meshdiffusion_tpu.geometry.generate_tets import generate_tet_grid
+    from meshdiffusion_tpu.geometry.tet_grid import TetGrid
+    v, t = generate_tet_grid(64)
+    assert v.shape == (63 ** 3, 3)
+    assert t.shape == (6 * 62 ** 3, 4)
+    u = np.unique(v)
+    assert len(u) == 63
+    np.testing.assert_allclose(u.min(), -0.484375)
+    np.testing.assert_allclose(u.max(), 0.484375)
+    np.testing.assert_allclose(u[1] - u[0], 1 / 64)
+
+    ref = TetGrid.load(64)
+    ru = np.unique(ref.verts)
+    np.testing.assert_allclose(u, ru, atol=1e-7)
+
+
+def test_generated_grid_extracts_meshes():
+    import jax.numpy as jnp
+    from meshdiffusion_tpu.geometry.generate_tets import generate_tet_grid
+    from meshdiffusion_tpu.geometry.tet_grid import TetGrid
+    from meshdiffusion_tpu.geometry.marching_tets import marching_tets, compact_mesh
+    v, t = generate_tet_grid(16)
+    tg = TetGrid.from_arrays(16, v, t)
+    sdf = 0.3 - np.linalg.norm(v, axis=1).astype(np.float32)
+    out = marching_tets(tg, jnp.asarray(v), jnp.asarray(sdf))
+    mv, mf = compact_mesh(out)
+    assert mf.shape[0] == 2 * mv.shape[0] - 4  # closed genus-0
+    r = np.linalg.norm(mv, axis=1)
+    assert abs(r.mean() - 0.3) < 0.01

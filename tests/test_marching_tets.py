@@ -129,3 +129,17 @@ def test_empty_and_full_sdf(tiny_tet_grid):
         out = marching_tets(tg, pos, jnp.full((tg.num_verts,), val))
         assert int(out.num_faces()) == 0
         assert not bool(out.vert_mask.any())
+
+
+def test_map_uv_static_chart(tiny_tet_grid):
+    from meshdiffusion_tpu.geometry.marching_tets import map_uv
+    tg = tiny_tet_grid
+    uvs, uv_idx = map_uv(tg)
+    assert uv_idx.shape == (2 * tg.num_tets, 3)
+    assert uvs.shape[1] == 2
+    assert uv_idx.max() < len(uvs)
+    assert (uvs >= 0).all() and (uvs <= 1).all()
+    # the two triangles of a tet share corner 0 and corner 2/3 patterns
+    t0 = uv_idx[0::2]
+    t1 = uv_idx[1::2]
+    assert (t0[:, 0] == t1[:, 0]).all()
