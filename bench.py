@@ -75,22 +75,30 @@ def main():
     cfg.sampling.segment_steps = seg
     sampler = get_sampling_fn(cfg, sde, shape, grid_mask=mask)
 
-    def model_fn(x, labels):
-        return model.apply(params, x, labels, mask, train=False)
+    def model_fn(p, x, labels):
+        return model.apply(p, x, labels, mask, train=False)
 
-    # warmup run to trigger the (persistent-cached) segment compile
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    # warmup run to trigger the (persistent-cached) segment compile.
+    # params thread through as a jit ARGUMENT (closure would bake 1.4GB of
+    # weights into the jaxpr as constants).
+    log(f'bench: warmup (steps={steps} batch={batch} segment={seg})')
     t0 = time.perf_counter()
-    out, _ = sampler(model_fn, jax.random.key(0))
+    out, _ = sampler(model_fn, jax.random.key(0), params=params)
     _ = np.asarray(out[:, 0, 0, 0, 0])
     t_compile = time.perf_counter() - t0
+    log(f'bench: warmup done in {t_compile:.1f}s')
 
     g2m = make_grid_to_mesh(tg)
     g2m_compiled = g2m.lower(jnp.zeros((R, R, R, 4))).compile()
+    log('bench: extraction compiled; starting timed run')
 
     # one timed end-to-end run. NOTE: block_until_ready does not synchronize
     # through the axon tunnel; a host transfer does.
     t0 = time.perf_counter()
-    out, _ = sampler(model_fn, jax.random.key(1))
+    out, _ = sampler(model_fn, jax.random.key(1), params=params)
     _ = np.asarray(out[:, 0, 0, 0, 0])
     t_sample = time.perf_counter() - t0
 

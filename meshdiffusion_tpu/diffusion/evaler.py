@@ -63,10 +63,10 @@ def _setup(config, use_ema: bool = True):
     # EMA weights for sampling (reference evaler.py:52)
     eval_params = state.ema_params if use_ema else state.params
 
-    def model_fn(x, labels):
-        return model.apply(eval_params, x, labels, mask, train=False)
+    def model_fn(p, x, labels):
+        return model.apply(p, x, labels, mask, train=False)
 
-    return model_fn, sde, mask, mask_host, state
+    return model_fn, eval_params, sde, mask, mask_host, state
 
 
 def _save(samples: jnp.ndarray, eval_dir: str, fname: str) -> str:
@@ -80,13 +80,13 @@ def _save(samples: jnp.ndarray, eval_dir: str, fname: str) -> str:
 
 def uncond_gen(config, idx=0, seed: Optional[int] = None):
     """Unconditional generation (reference evaler.py:14-60)."""
-    model_fn, sde, mask, _, _ = _setup(config)
+    model_fn, eval_params, sde, mask, _, _ = _setup(config)
     R = config.data.image_size
     shape = (config.eval.batch_size, R, R, R, config.data.num_channels)
     sampler = sampling.get_sampling_fn(config, sde, shape, eps=1e-3,
                                        grid_mask=mask)
     key = jax.random.key(config.seed if seed is None else seed)
-    samples, n = sampler(model_fn, key)
+    samples, n = sampler(model_fn, key, params=eval_params)
     path = _save(samples, config.eval.eval_dir, str(idx))
     logger.info("saved %s (nfe=%d)", path, n)
     return path
@@ -103,7 +103,7 @@ def slerp(z1, z2, alpha):
 def uncond_gen_interp(config, idx=0, seed: Optional[int] = None):
     """DDIM generation from slerp-interpolated prior noise
     (reference evaler.py:73-131, with its undefined-variable bug fixed)."""
-    model_fn, sde, mask, _, _ = _setup(config)
+    model_fn, eval_params, sde, mask, _, _ = _setup(config)
     R = config.data.image_size
     B = config.eval.batch_size
     shape = (B, R, R, R, config.data.num_channels)
@@ -116,7 +116,7 @@ def uncond_gen_interp(config, idx=0, seed: Optional[int] = None):
     x0 = x0.at[0].set(noise[0]).at[-1].set(noise[1])
     for i in range(1, B - 1):
         x0 = x0.at[i].set(slerp(noise[0], noise[1], i / float(B - 1)))
-    samples, n = sampler(model_fn, key, x0=x0)
+    samples, n = sampler(lambda x, l: model_fn(eval_params, x, l), key, x0=x0)
     path = _save(samples, config.eval.eval_dir, str(idx))
     logger.info("saved %s (nfe=%d)", path, n)
     return path
@@ -157,7 +157,7 @@ def load_partial_grids(config):
 
 def cond_gen(config, save_fname='0', seed: Optional[int] = None):
     """Single-view conditional generation (reference evaler.py:134-212)."""
-    model_fn, sde, mask, _, _ = _setup(config)
+    model_fn, eval_params, sde, mask, _, _ = _setup(config)
     R = config.data.image_size
     shape = (config.eval.batch_size, R, R, R, config.data.num_channels)
     sampler = sampling.get_sampling_fn(config, sde, shape, eps=1e-3,
@@ -166,7 +166,8 @@ def cond_gen(config, save_fname='0', seed: Optional[int] = None):
     key = jax.random.key(config.seed if seed is None else seed)
     samples, n = sampler(model_fn, key, partial=partial,
                          partial_mask=partial_mask,
-                         freeze_iters=config.eval.freeze_iters)
+                         freeze_iters=config.eval.freeze_iters,
+                         params=eval_params)
     path = _save(samples, config.eval.eval_dir, save_fname)
     logger.info("saved %s (nfe=%d)", path, n)
     return path

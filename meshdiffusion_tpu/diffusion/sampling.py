@@ -290,49 +290,60 @@ def get_pc_sampler(sde: VPSDE,
 
     rows = tables.stacked()
 
-    def uncond_sampler(model_fn: ModelFn, key: jax.Array):
-        """Unconditional: N-1 steps over timesteps[0..N-2] (reference :471)."""
+    def uncond_sampler(model_fn: ModelFn, key: jax.Array, params=None):
+        """Unconditional: N-1 steps over timesteps[0..N-2] (reference :471).
+
+        ``params``: optional pytree threaded through the segment jit as an
+        ARGUMENT (model_fn then has signature (params, x, labels)). Without
+        it, a model_fn closing over large device arrays would bake them into
+        the segment jaxpr as constants — gigabytes of tracing/compile blowup.
+        """
         key, pkey = jax.random.split(key)
         x = jax.random.normal(pkey, shape, dtype=jnp.float32) * grid_mask
 
         n_traj = (sde.N - 1 - traj_start + traj_every - 1) // traj_every if return_traj else 0
         traj0 = jnp.zeros((max(n_traj, 1),) + tuple(shape), jnp.float32)
 
-        def body(carry, i):
-            x, x_mean_prev, key, traj = carry
-            active = i < sde.N - 1
-            ii = jnp.minimum(i, sde.N - 1)
-            row = {k: v[ii] for k, v in rows.items()}
-            key, ck, pk = jax.random.split(key, 3)
-            x_new, x_mean = corrector_update(model_fn, row, x, ck)
-            x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
-            x_new, x_mean = predictor_update(model_fn, row, x_new, pk)
-            x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
-            if return_traj:
-                want = active & (i >= traj_start) & (i % traj_every == 0)
-                slot = jnp.clip((i - traj_start) // traj_every, 0, max(n_traj - 1, 0))
-                x0 = compute_xzero(model_fn, x_new, row)
-                traj = jax.lax.cond(
-                    want,
-                    lambda tr: jax.lax.dynamic_update_index_in_dim(tr, x0, slot, 0),
-                    lambda tr: tr, traj)
-            x = jnp.where(active, x_new, x)
-            x_mean = jnp.where(active, x_mean, x_mean_prev)
-            return (x, x_mean, key, traj), None
+        def run_scan(p, carry, start, length):
+            mf = ((lambda xx, ll: model_fn(p, xx, ll)) if params is not None
+                  else model_fn)
 
-        def run_scan(carry, start, length):
+            def body(carry, i):
+                x, x_mean_prev, key, traj = carry
+                active = i < sde.N - 1
+                ii = jnp.minimum(i, sde.N - 1)
+                row = {k: v[ii] for k, v in rows.items()}
+                key, ck, pk = jax.random.split(key, 3)
+                x_new, x_mean = corrector_update(mf, row, x, ck)
+                x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
+                x_new, x_mean = predictor_update(mf, row, x_new, pk)
+                x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
+                if return_traj:
+                    want = active & (i >= traj_start) & (i % traj_every == 0)
+                    slot = jnp.clip((i - traj_start) // traj_every, 0,
+                                    max(n_traj - 1, 0))
+                    x0 = compute_xzero(mf, x_new, row)
+                    traj = jax.lax.cond(
+                        want,
+                        lambda tr: jax.lax.dynamic_update_index_in_dim(
+                            tr, x0, slot, 0),
+                        lambda tr: tr, traj)
+                x = jnp.where(active, x_new, x)
+                x_mean = jnp.where(active, x_mean, x_mean_prev)
+                return (x, x_mean, key, traj), None
+
             return jax.lax.scan(body, carry, start + jnp.arange(length),
                                 unroll=1)[0]
 
         carry = (x, x, key, traj0)
         total = sde.N - 1
         if segment_steps is None:
-            carry = run_scan(carry, jnp.asarray(0), total)
+            carry = run_scan(params, carry, jnp.asarray(0), total)
         else:
             L = segment_steps
-            seg_fn = jax.jit(lambda c, s: run_scan(c, s, L))
+            seg_fn = jax.jit(lambda p, c, s: run_scan(p, c, s, L))
             for s in range(0, total, L):
-                carry = seg_fn(carry, jnp.asarray(s))
+                carry = seg_fn(params, carry, jnp.asarray(s))
         x, x_mean, _, traj = carry
         out = x_mean if denoise else x
         if return_traj:
@@ -341,7 +352,7 @@ def get_pc_sampler(sde: VPSDE,
 
     def cond_sampler(model_fn: ModelFn, key: jax.Array,
                      partial: jnp.ndarray, partial_mask: jnp.ndarray,
-                     freeze_iters: int):
+                     freeze_iters: int, params=None):
         """Conditional inpainting over the SDF channel (reference :429-467).
 
         partial / partial_mask: (1, R, R, R, 1). The SDF channel (channel 0)
@@ -362,53 +373,62 @@ def get_pc_sampler(sde: VPSDE,
         ch0 = (p * (1 - m) + noised0 * m) * gm0
         x = x.at[..., 0].set(jnp.broadcast_to(ch0, x.shape[:-1]))
 
-        def body(carry, i):
-            x, x_mean_prev, key = carry
-            active = i < sde.N
-            ii = jnp.minimum(i, sde.N - 1)
-            row = {k: v[ii] for k, v in rows.items()}
-            key, ck, pk, nk = jax.random.split(key, 4)
-            x_new, x_mean = corrector_update(model_fn, row, x, ck)
-            x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
-            x_new, x_mean = predictor_update(model_fn, row, x_new, pk)
-            x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
+        def run_scan(pr, carry, start, length):
+            mf = ((lambda xx, ll: model_fn(pr, xx, ll)) if params is not None
+                  else model_fn)
 
-            # mask-and-replace with fresh noise at the current level
-            noise = jax.random.normal(nk, p.shape, dtype=jnp.float32)
-            noised = row['marg_coeff'] * p + row['marg_std'] * noise
-            x0 = (x_new[..., 0] * (1 - m) + noised * m) * gm0
-            do = (i < freeze_iters) & (i != sde.N - 1)
-            new_ch0 = jnp.where(do, x0, x_new[..., 0])
-            x_new = x_new.at[..., 0].set(new_ch0)
-            x_mean = x_mean.at[..., 0].set(
-                jnp.where(do, new_ch0, x_mean[..., 0]))
-            x = jnp.where(active, x_new, x)
-            x_mean = jnp.where(active, x_mean, x_mean_prev)
-            return (x, x_mean, key), None
+            def body(carry, i):
+                x, x_mean_prev, key = carry
+                active = i < sde.N
+                ii = jnp.minimum(i, sde.N - 1)
+                row = {k: v[ii] for k, v in rows.items()}
+                key, ck, pk, nk = jax.random.split(key, 4)
+                x_new, x_mean = corrector_update(mf, row, x, ck)
+                x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
+                x_new, x_mean = predictor_update(mf, row, x_new, pk)
+                x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
 
-        def run_scan(carry, start, length):
+                # mask-and-replace with fresh noise at the current level
+                noise = jax.random.normal(nk, p.shape, dtype=jnp.float32)
+                noised = row['marg_coeff'] * p + row['marg_std'] * noise
+                x0 = (x_new[..., 0] * (1 - m) + noised * m) * gm0
+                do = (i < freeze_iters) & (i != sde.N - 1)
+                new_ch0 = jnp.where(do, x0, x_new[..., 0])
+                x_new = x_new.at[..., 0].set(new_ch0)
+                x_mean = x_mean.at[..., 0].set(
+                    jnp.where(do, new_ch0, x_mean[..., 0]))
+                x = jnp.where(active, x_new, x)
+                x_mean = jnp.where(active, x_mean, x_mean_prev)
+                return (x, x_mean, key), None
+
             return jax.lax.scan(body, carry, start + jnp.arange(length),
                                 unroll=1)[0]
 
         carry = (x, x, key)
         if segment_steps is None:
-            carry = run_scan(carry, jnp.asarray(0), sde.N)
+            carry = run_scan(params, carry, jnp.asarray(0), sde.N)
         else:
             L = segment_steps
-            seg_fn = jax.jit(lambda c, s: run_scan(c, s, L))
+            seg_fn = jax.jit(lambda pr, c, s: run_scan(pr, c, s, L))
             for s in range(0, sde.N, L):
-                carry = seg_fn(carry, jnp.asarray(s))
+                carry = seg_fn(params, carry, jnp.asarray(s))
         x, x_mean, _ = carry
         out = x_mean if denoise else x
         return out, sde.N * (n_steps + 1)
 
     def sampler(model_fn: ModelFn, key: jax.Array, partial=None,
-                partial_mask=None, freeze_iters: Optional[int] = None):
+                partial_mask=None, freeze_iters: Optional[int] = None,
+                params=None):
+        """params: optional pytree passed as a jit ARGUMENT to the segment
+        functions; when given, model_fn is called as model_fn(params, x, l).
+        Always pass it for large models with segment_steps — a closure would
+        embed the weights into the traced jaxpr as constants."""
         if partial is None:
-            return uncond_sampler(model_fn, key)
+            return uncond_sampler(model_fn, key, params=params)
         if freeze_iters is None:
             freeze_iters = sde.N + 10
-        return cond_sampler(model_fn, key, partial, partial_mask, freeze_iters)
+        return cond_sampler(model_fn, key, partial, partial_mask,
+                            freeze_iters, params=params)
 
     return sampler
 

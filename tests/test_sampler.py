@@ -169,3 +169,15 @@ def test_segmented_matches_fused(sde):
     c2, _ = s_seg(zero_model, jax.random.key(6), partial=partial,
                   partial_mask=pmask, freeze_iters=10)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-6)
+
+
+def test_params_threading(sde):
+    """params passed explicitly match a closure model."""
+    gm = grid_mask()
+    w = jnp.asarray(0.25)
+    closure = lambda x, labels: w * x
+    threaded = lambda p, x, labels: p * x
+    s_seg = sampling.get_pc_sampler(sde, SHAPE, grid_mask=gm, segment_steps=8)
+    o1, _ = s_seg(closure, jax.random.key(4))
+    o2, _ = s_seg(threaded, jax.random.key(4), params=w)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
