@@ -141,11 +141,14 @@ class _Conv3DAs2D(nn.Module):
         xm = jnp.concatenate(taps, axis=-1)
         # kernel (kd, kh, kw, I, O) -> (kh, kw, kd*I, O), matching tap order
         km = w.transpose(1, 2, 0, 3, 4).reshape(k, k, k * C, self.features)
+        # output type follows the compute dtype: the TPU MXU accumulates
+        # bf16 operands in fp32 regardless, and a mixed f32-out/bf16-in conv
+        # breaks the transpose (gradient) dtype pairing
         y = jax.lax.conv_general_dilated(
             xm.reshape(B * D, H, W, k * C), km.astype(self.dtype), (1, 1),
             'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-            preferred_element_type=jnp.float32)
-        y = y.astype(self.dtype) + b.astype(self.dtype)
+            preferred_element_type=self.dtype)
+        y = y + b.astype(self.dtype)
         return y.reshape(B, D, H, W, self.features)
 
 

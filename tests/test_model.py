@@ -107,3 +107,20 @@ def test_timestep_embedding_matches_formula():
     freq = np.exp(np.arange(half) * -(np.log(10000.0) / (half - 1)))
     expect = np.concatenate([np.sin(999.0 * freq), np.cos(999.0 * freq)])
     np.testing.assert_allclose(np.asarray(emb[2]), expect, rtol=1e-5)
+
+
+def test_bf16_compute_train_grads():
+    """bf16 compute path differentiates (the conv transpose dtype pairing
+    regression: f32-preferred output with bf16 operands breaks jax.grad)."""
+    m = tiny_model(dtype=jnp.bfloat16)
+    x = jnp.ones((1, 16, 16, 16, 4))
+    labels = jnp.array([1.0])
+    mask = jnp.ones((1, 16, 16, 16, 1))
+    params = m.init({'params': jax.random.key(0)}, x, labels, mask)
+
+    def loss(p):
+        return jnp.sum(m.apply(p, x, labels, mask) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l, np.float32)).all() for l in leaves)
