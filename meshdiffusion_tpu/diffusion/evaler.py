@@ -78,15 +78,27 @@ def _save(samples: jnp.ndarray, eval_dir: str, fname: str) -> str:
     return path
 
 
-def uncond_gen(config, idx=0, seed: Optional[int] = None):
-    """Unconditional generation (reference evaler.py:14-60)."""
+def uncond_gen(config, idx=0, seed: Optional[int] = None,
+               return_traj: bool = False):
+    """Unconditional generation (reference evaler.py:14-60). With
+    ``return_traj``, saves the x0-prediction trajectory snapshots (steps
+    >=700 every 10, reference sampling.py:480-481) as separate .npy files
+    for eval_traj-style extraction."""
     model_fn, eval_params, sde, mask, _, _ = _setup(config)
     R = config.data.image_size
     shape = (config.eval.batch_size, R, R, R, config.data.num_channels)
     sampler = sampling.get_sampling_fn(config, sde, shape, eps=1e-3,
-                                       grid_mask=mask)
+                                       grid_mask=mask,
+                                       return_traj=return_traj)
     key = jax.random.key(config.seed if seed is None else seed)
     samples, n = sampler(model_fn, key, params=eval_params)
+    if return_traj:
+        paths = []
+        for t in range(samples.shape[0]):
+            paths.append(_save(samples[t], config.eval.eval_dir,
+                               f"{idx}_time{t:03d}"))
+        logger.info("saved %d trajectory snapshots (nfe=%d)", len(paths), n)
+        return paths
     path = _save(samples, config.eval.eval_dir, str(idx))
     logger.info("saved %s (nfe=%d)", path, n)
     return path

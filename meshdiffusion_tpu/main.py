@@ -69,8 +69,8 @@ def main(argv=None):
                         help='preset name or config .py file')
     parser.add_argument('--mode', required=True,
                         choices=['train', 'uncond_gen', 'uncond_gen_interp',
-                                 'cond_gen', 'extract', 'fit_dmtets',
-                                 'fit_singleview'])
+                                 'cond_gen', 'extract', 'extract_traj',
+                                 'fit_dmtets', 'fit_singleview'])
     parser.add_argument('--idx', default='0')
     parser.add_argument('--seed', type=int, default=None)
     # extract-mode flags (reference nvdiffrec/eval.py argparse)
@@ -83,6 +83,8 @@ def main(argv=None):
     parser.add_argument('--unnormalized_sdf', action='store_true')
     parser.add_argument('--save_viz', action='store_true',
                         help='extract: also render a sanity PNG per mesh')
+    parser.add_argument('--traj', action='store_true',
+                        help='uncond_gen: save x0-prediction trajectory')
     parser.add_argument('--angle_ind', type=int, default=25)
     # fitting flags (reference nvdiffrec argparse)
     parser.add_argument('--meta_path', default=None,
@@ -103,6 +105,15 @@ def main(argv=None):
         else:
             rest.append(a)
     args = parser.parse_args(rest)
+
+    if args.mode == 'extract_traj':
+        from .extract import extract_dir
+        assert args.sample_path, '--sample_path (a directory) required'
+        extract_dir(args.sample_path, args.out_dir,
+                    resolution=args.resolution, mesh_scale=args.mesh_scale,
+                    deform_scale=args.deform_scale,
+                    num_smooth_steps=args.num_smooth_steps)
+        return
 
     if args.mode == 'extract':
         from .extract import extract_batch
@@ -161,7 +172,8 @@ def main(argv=None):
         train(config)
     elif args.mode == 'uncond_gen':
         from .diffusion.evaler import uncond_gen
-        uncond_gen(config, idx=args.idx, seed=args.seed)
+        uncond_gen(config, idx=args.idx, seed=args.seed,
+                   return_traj=args.traj)
     elif args.mode == 'uncond_gen_interp':
         from .diffusion.evaler import uncond_gen_interp
         uncond_gen_interp(config, idx=args.idx, seed=args.seed)
