@@ -136,10 +136,26 @@ def train(config, max_steps: int | None = None):
         extension=config.data.extension,
         seed=config.seed)
     iter_size = config.training.iter_size
-    loader = GridLoader(dataset,
-                        batch_size=config.training.batch_size * iter_size,
-                        num_workers=config.data.num_workers,
-                        seed=config.seed)
+    loader = None
+    if config.data.extension == 'npy':
+        # prefer the native C++ loader (decode+augment+batch off the GIL);
+        # transparent fallback to the Python threaded loader
+        try:
+            from ..native import NativeGridLoader
+            loader = NativeGridLoader(
+                dataset.fpath_list, mask_host,
+                batch_size=config.training.batch_size * iter_size,
+                aug=config.data.aug,
+                normalize_sdf=config.data.normalize_sdf,
+                num_workers=config.data.num_workers, seed=config.seed)
+            logger.info('using native C++ grid loader')
+        except Exception as e:
+            logger.warning('native loader unavailable (%s); using python loader', e)
+    if loader is None:
+        loader = GridLoader(dataset,
+                            batch_size=config.training.batch_size * iter_size,
+                            num_workers=config.data.num_workers,
+                            seed=config.seed)
 
     n_iters = config.training.n_iters if max_steps is None else max_steps
     logger.info("Starting training loop at step %d.", initial_step)
