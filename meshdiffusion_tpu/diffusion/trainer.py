@@ -89,7 +89,21 @@ def train(config, max_steps: int | None = None):
     mask_host = load_grid_mask(config)                       # (R, R, R)
     mask = jnp.asarray(mask_host)[None, ..., None]           # (1, R, R, R, 1)
 
-    mesh = make_mesh(config.tpu.mesh_data_axis, config.tpu.mesh_spatial_axis)
+    spatial = config.tpu.mesh_spatial_axis
+    n_dev = len(jax.devices())
+    data_axis = config.tpu.mesh_data_axis
+    if data_axis == -1:
+        data_axis = n_dev // spatial
+    # the data axis must divide the per-step batch; shrink to the largest
+    # divisor and leave the rest of the devices unused rather than crash
+    bs = config.training.batch_size
+    while data_axis > 1 and bs % data_axis != 0:
+        data_axis -= 1
+    if data_axis * spatial < n_dev:
+        logger.warning('mesh uses %d of %d devices (batch %d not divisible)',
+                       data_axis * spatial, n_dev, bs)
+    mesh = make_mesh(data_axis, spatial,
+                     devices=jax.devices()[:data_axis * spatial])
     # batches carry a leading iter_size axis -> B is axis 1, grid-D is axis 2
     from jax.sharding import NamedSharding, PartitionSpec as P
     batch_sharding = NamedSharding(
