@@ -27,7 +27,6 @@ Known reference bugs intentionally not replicated (documented):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax

@@ -22,11 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import get_config  # noqa: F401  (re-export convenience)
 from ..data.dataset import ShapeNetDMTetDataset, GridLoader
 from ..geometry.tet_grid import TetGrid
 from ..models import create_model
-from ..parallel import make_mesh, data_spec, replicate
+from ..parallel import make_mesh, replicate
 from ..utils.checkpoint import save_checkpoint, restore_checkpoint
 from . import losses as L
 from .vpsde import VPSDE

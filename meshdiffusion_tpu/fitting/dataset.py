@@ -10,7 +10,7 @@ depths, masks, and 50k surface samples.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -41,7 +41,6 @@ from ..render import light as light_mod
 from ..render import material as material_mod
 from ..render import mesh as mesh_mod
 from ..render import obj as obj_mod
-from ..render import ops as rops
 from ..render import texture as texture_mod
 from ..render.mlptexture import MLPTexture3D, BoundTexture3D
 from .dataset import TargetRenderer
@@ -99,6 +98,8 @@ class FitConfig:
     raster_K: int = 256
     surface_samples: int = 50000
     log_interval: int = 10
+    validate: bool = False
+    validate_views: int = 8
 
 
 def default_material():
@@ -319,6 +320,14 @@ def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
         'deform': np.asarray(state2.deform) * vert_mask2,
         'deform_unmasked': np.asarray(state2.deform),
     })
+
+    if cfg.validate:
+        # PSNR/MSE validation renders (reference fit_dmtets.py:795-796)
+        from .validate import validate as run_validate
+        run_validate(fitter2, state2, renderer,
+                     os.path.join(out_dir,
+                                  f'val_viz/dmtet_validate_{global_index}'),
+                     num_views=cfg.validate_views, raster_K=cfg.raster_K)
     return {'tets_pre': pre_path, 'tets': out_path}
 
 

@@ -11,7 +11,7 @@ gated by iteration conditionals, so the whole fitting step jits.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import flax.struct
 import jax

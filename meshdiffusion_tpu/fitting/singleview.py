@@ -19,7 +19,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ from ..render.render import render_mesh
 from .dataset import TargetRenderer
 from .fit import (FitConfig, _save_dmt_dict, default_material, lr_schedule,
                   make_image_loss)
-from .geometry import DMTetFitter, FitState, FixedTopoFitter
+from .geometry import DMTetFitter, FitState
 
 logger = logging.getLogger(__name__)
 

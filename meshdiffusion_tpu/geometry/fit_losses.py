@@ -15,7 +15,7 @@ compose with marching-tets output under jit.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ scheme (reference layers.py:54-91) so training-from-scratch matches.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

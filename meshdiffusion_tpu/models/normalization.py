@@ -9,8 +9,6 @@ configs, in channels-last layout.
 
 from __future__ import annotations
 
-from typing import Any, Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

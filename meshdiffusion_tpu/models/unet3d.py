@@ -20,7 +20,7 @@ through a dedicated stem conv exactly like the reference (ddpm_res64.py:148).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -17,8 +17,6 @@ sample per grid step along axis 0.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -117,7 +115,7 @@ def fused_groupnorm_silu(x: jnp.ndarray, scale: jnp.ndarray,
                          memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block, C), lambda b, p, i: (b, i, 0),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, rows, C), x.dtype),
         scratch_shapes=[pltpu.VMEM((2, num_groups), jnp.float32)],

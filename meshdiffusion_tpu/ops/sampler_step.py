@@ -15,7 +15,6 @@ implementation is the numeric spec (sampler tests run both).
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

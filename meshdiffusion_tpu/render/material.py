@@ -9,7 +9,7 @@ Material is a plain dict pytree: keys 'bsdf' (static string), 'kd', 'ks',
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

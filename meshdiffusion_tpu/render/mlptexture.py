@@ -15,7 +15,7 @@ Hash function follows the standard instant-ngp spatial hash
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,11 +14,9 @@ renderutils/tests/*).
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax.numpy as jnp
 
-from .utils import dot, reflect, safe_normalize
+from .utils import dot, safe_normalize
 
 NORMAL_THRESHOLD = 0.1
 SPECULAR_EPSILON = 1e-4

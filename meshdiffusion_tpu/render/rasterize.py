@@ -30,7 +30,6 @@ render.py:290).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax
