@@ -49,6 +49,10 @@ class RasterOut:
     bary: jnp.ndarray       # (H, W, 3) perspective-correct barycentrics
     zbuf: jnp.ndarray       # (H, W) screen z in [-1, 1], BIG where empty
     valid: jnp.ndarray      # (H, W) bool
+    # triangles dropped from the fullest tile (0 = exact rasterization);
+    # monitor and raise K when nonzero
+    bin_overflow: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
     @property
     def mask(self):
@@ -124,7 +128,9 @@ def bin_triangles(xs, ys, face_mask, res: Tuple[int, int], K: int):
     in_seg = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
     idx = jnp.clip(idx, 0, tris_sorted.shape[0] - 1)
     tile_tris = jnp.where(in_seg, tris_sorted[idx], -1)
-    return tile_tris, jnp.minimum(counts, K)
+    # NOTE: counts may exceed K (overflowing triangles are dropped from that
+    # tile); callers can monitor max(counts) and raise K / shrink TILE.
+    return tile_tris, counts
 
 
 def _rasterize_tiles(xs, ys, zs, tile_tris, res, z_floor: Optional[jnp.ndarray]):
@@ -252,7 +258,7 @@ def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
     xs_ = jax.lax.stop_gradient(xs)
     ys_ = jax.lax.stop_gradient(ys)
     zs_ = jax.lax.stop_gradient(zs)
-    tile_tris, _ = bin_triangles(xs_, ys_, face_ok, res, K)
+    tile_tris, tile_counts = bin_triangles(xs_, ys_, face_ok, res, K)
 
     layers = []
     z_floor = None
@@ -265,7 +271,9 @@ def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
         bary = jnp.where(valid[..., None], bary, 0.0)
         layers.append(RasterOut(tri_id=tri_img, bary=bary,
                                 zbuf=jnp.where(valid, zpix, BIG),
-                                valid=valid))
+                                valid=valid,
+                                bin_overflow=jnp.maximum(
+                                    jnp.max(tile_counts) - K, 0)))
         z_floor = jax.lax.stop_gradient(jnp.where(valid, z_img, BIG))
     return layers
 

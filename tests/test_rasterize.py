@@ -164,3 +164,22 @@ def test_empty_scene():
     f = np.array([[0, 1, 2]], np.int32)
     rast = rasterize(jnp.asarray(v), jnp.asarray(f), (16, 16))[0]
     assert not np.asarray(rast.valid).any()
+
+
+def test_bin_overflow_reported():
+    """A tiny K triggers the overflow counter; large K reports zero."""
+    rng = np.random.default_rng(0)
+    # many triangles stacked in one tile
+    centers = rng.uniform(-0.05, 0.05, (40, 2)).astype(np.float32)
+    v = []
+    f = []
+    for i, c in enumerate(centers):
+        v += [[c[0], c[1], 0.1, 1.0], [c[0] + 0.05, c[1], 0.1, 1.0],
+              [c[0], c[1] + 0.05, 0.1, 1.0]]
+        f.append([3 * i, 3 * i + 1, 3 * i + 2])
+    v = jnp.asarray(np.asarray(v, np.float32))
+    f = jnp.asarray(np.asarray(f, np.int32))
+    small = rasterize(v, f, (32, 32), K=8)[0]
+    big = rasterize(v, f, (32, 32), K=64)[0]
+    assert int(small.bin_overflow) > 0
+    assert int(big.bin_overflow) == 0
