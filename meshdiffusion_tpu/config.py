@@ -125,6 +125,7 @@ def get_default_config() -> ml_collections.ConfigDict:
     tpu.mesh_data_axis = -1          # -1: all devices on the data axis
     tpu.mesh_spatial_axis = 1        # spatial (grid-D) sharding factor
     tpu.donate_sampler_state = True
+    tpu.fused_groupnorm = False   # route GN+SiLU through the Pallas kernel
     tpu.tet_root = ""               # dir holding {R}_tets_cropped.npz; '' -> bundled default
 
     return config

@@ -169,20 +169,25 @@ class GroupNorm(nn.Module):
 class ResnetBlockDDPM(nn.Module):
     """GN-SiLU-conv / +temb / GN-SiLU-drop-conv(zero) with NIN shortcut.
 
-    Reference layers.py:646-689.
+    Reference layers.py:646-689. ``fused_gn``: route the GN+SiLU pairs
+    through the Pallas kernel (ops/groupnorm.py) instead of flax GN —
+    identical math (fp32 statistics), same param tree.
     """
     out_ch: Optional[int] = None
     temb_dim: Optional[int] = None
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None,
                  *, deterministic: bool = True) -> jnp.ndarray:
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
+        GN = _FusedGN if self.fused_gn else GroupNorm
 
-        h = nn.silu(GroupNorm(name='GroupNorm_0')(x))
+        h = GN(name='GroupNorm_0')(x) if self.fused_gn \
+            else nn.silu(GroupNorm(name='GroupNorm_0')(x))
         h = Conv3D(out_ch, 3, dtype=self.dtype, name='Conv_0')(h)
         if temb is not None:
             t = nn.Dense(out_ch, kernel_init=ddpm_init(),
@@ -190,12 +195,39 @@ class ResnetBlockDDPM(nn.Module):
                          dtype=self.dtype, param_dtype=jnp.float32,
                          name='Dense_0')(nn.silu(temb))
             h = h + t[:, None, None, None, :].astype(h.dtype)
-        h = nn.silu(GroupNorm(name='GroupNorm_1')(h))
+        h = GN(name='GroupNorm_1')(h) if self.fused_gn \
+            else nn.silu(GroupNorm(name='GroupNorm_1')(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = Conv3D(out_ch, 3, init_scale=0.0, dtype=self.dtype, name='Conv_1')(h)
         if in_ch != out_ch:
             x = NIN(out_ch, dtype=self.dtype, name='NIN_0')(x)
         return x + h
+
+
+class _FusedGN(nn.Module):
+    """GroupNorm+SiLU via the Pallas kernel, with the same param tree as the
+    flax GroupNorm wrapper (norm/scale, norm/bias)."""
+    num_groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.groupnorm import fused_groupnorm_silu
+        C = x.shape[-1]
+        scope = _ParamHolder(features=C, name='norm')
+        scale, bias = scope(x)
+        return fused_groupnorm_silu(x, scale, bias,
+                                    num_groups=self.num_groups, eps=self.eps)
+
+
+class _ParamHolder(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param('scale', nn.initializers.ones, (self.features,))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        return scale, bias
 
 
 class AttnBlock(nn.Module):

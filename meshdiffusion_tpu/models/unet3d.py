@@ -53,6 +53,7 @@ class UNet3D(nn.Module):
     sigma_max: float = 378.0
     num_scales: int = 1000
     dtype: Dtype = jnp.float32
+    fused_gn: bool = False
 
     @classmethod
     def from_config(cls, config, **overrides):
@@ -77,6 +78,7 @@ class UNet3D(nn.Module):
             sigma_max=m.sigma_max,
             num_scales=m.num_scales,
             dtype=jnp.dtype(config.tpu.compute_dtype) if 'tpu' in config else jnp.float32,
+            fused_gn=bool(config.tpu.get('fused_groupnorm', False)) if 'tpu' in config else False,
         )
         kw.update(overrides)
         return cls(**kw)
@@ -100,7 +102,8 @@ class UNet3D(nn.Module):
         dt = self.dtype
 
         Res = lambda out_ch, name: layers.ResnetBlockDDPM(
-            out_ch=out_ch, temb_dim=4 * nf, dropout=self.dropout, dtype=dt, name=name)
+            out_ch=out_ch, temb_dim=4 * nf, dropout=self.dropout, dtype=dt,
+            fused_gn=self.fused_gn, name=name)
 
         # timestep embedding
         if self.conditional:

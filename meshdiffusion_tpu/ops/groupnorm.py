@@ -17,6 +17,7 @@ sample per grid step along axis 0.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -92,12 +93,17 @@ def _kernel(sb_ref, x_ref, out_ref, acc_ref, *, num_groups, eps, rows_total,
 
 def fused_groupnorm_silu(x: jnp.ndarray, scale: jnp.ndarray,
                          bias: jnp.ndarray, num_groups: int = 32,
-                         eps: float = 1e-6, block: int = 1024,
+                         eps: float = 1e-6, block: Optional[int] = None,
                          interpret: bool = False) -> jnp.ndarray:
-    """Pallas fast path. x: (B, ..., C) channels-last."""
+    """Pallas fast path. x: (B, ..., C) channels-last. ``block`` (rows per
+    grid step) defaults to a VMEM-safe size inversely proportional to C."""
+    interpret = interpret or jax.default_backend() == 'cpu'
     B = x.shape[0]
     C = x.shape[-1]
     assert C % num_groups == 0
+    if block is None:
+        # ~1MB fp32 per buffered block; Mosaic needs sublane multiples of 8
+        block = max(256, ((1 << 18) // C) // 8 * 8)
     rows = int(np.prod(x.shape[1:-1]))
     xr = x.reshape(B, rows, C)
     nblk = pl.cdiv(rows, block)

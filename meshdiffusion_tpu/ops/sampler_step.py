@@ -55,6 +55,7 @@ def ancestral_update(x: jnp.ndarray, eps_hat: jnp.ndarray, mask: jnp.ndarray,
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas fast path. Shapes: x/eps_hat/noise (B, R, R, R, C); mask
     broadcastable to x; beta/std scalars (traced ok)."""
+    interpret = interpret or jax.default_backend() == 'cpu'
     orig_shape = x.shape
     C = orig_shape[-1]
     n = int(np.prod(orig_shape[:-1]))

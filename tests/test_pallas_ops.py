@@ -73,3 +73,20 @@ def test_groupnorm_matches_flax_groupnorm(rng):
                                    jnp.asarray(bias), num_groups=G)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gn_resblock_parity(rng):
+    """fused_gn=True block: identical param tree + numerics vs flax GN."""
+    import jax.tree_util as jtu
+    from meshdiffusion_tpu.models.layers import ResnetBlockDDPM
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 64)).astype(np.float32))
+    temb = jnp.asarray(rng.normal(size=(1, 128)).astype(np.float32))
+    m0 = ResnetBlockDDPM(out_ch=64, temb_dim=128, dropout=0.0)
+    m1 = ResnetBlockDDPM(out_ch=64, temb_dim=128, dropout=0.0, fused_gn=True)
+    p = m0.init(jax.random.key(0), x, temb)
+    p1 = m1.init(jax.random.key(0), x, temb)
+    assert jtu.tree_structure(p) == jtu.tree_structure(p1)
+    o0 = m0.apply(p, x, temb)
+    o1 = m1.apply(p, x, temb)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-5, atol=1e-5)
