@@ -71,7 +71,7 @@ def main():
     shape = (batch, R, R, R, 4)
     # remote TPU workers kill device programs running longer than ~1 min;
     # segment the reverse loop to ~30s programs (one compile, many dispatches)
-    seg = int(os.environ.get('BENCH_SEGMENT', str(max(25, 320 // batch))))
+    seg = int(os.environ.get('BENCH_SEGMENT', str(max(25, 250 // batch))))
     cfg.sampling.segment_steps = seg
     sampler = get_sampling_fn(cfg, sde, shape, grid_mask=mask)
 
