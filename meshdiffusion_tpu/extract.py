@@ -44,16 +44,18 @@ def make_grid_to_mesh(tet_grid: TetGrid, mesh_scale: float = 2.1,
     return fn
 
 
+_GRID_TO_MESH_CACHE = {}
+
+
 def extract_grid(grid: np.ndarray, tet_grid: TetGrid, out_path: str,
                  mesh_scale: float = 2.1, deform_scale: float = 1.0,
-                 num_smooth_steps: int = 3, unnormalized_sdf: bool = False,
-                 _fn_cache={}):
+                 num_smooth_steps: int = 3, unnormalized_sdf: bool = False):
     """One (4, R, R, R) channel-first grid -> smoothed .obj at out_path."""
     key = (id(tet_grid), mesh_scale, deform_scale, unnormalized_sdf)
-    if key not in _fn_cache:
-        _fn_cache[key] = make_grid_to_mesh(tet_grid, mesh_scale, deform_scale,
-                                           unnormalized_sdf)
-    fn = _fn_cache[key]
+    if key not in _GRID_TO_MESH_CACHE:
+        _GRID_TO_MESH_CACHE[key] = make_grid_to_mesh(
+            tet_grid, mesh_scale, deform_scale, unnormalized_sdf)
+    fn = _GRID_TO_MESH_CACHE[key]
     g = jnp.asarray(np.moveaxis(np.asarray(grid, np.float32), 0, -1))
     out = fn(g)
     verts, faces = compact_mesh(out)
