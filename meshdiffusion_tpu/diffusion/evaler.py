@@ -128,7 +128,7 @@ def uncond_gen_interp(config, idx=0, seed: Optional[int] = None):
     x0 = x0.at[0].set(noise[0]).at[-1].set(noise[1])
     for i in range(1, B - 1):
         x0 = x0.at[i].set(slerp(noise[0], noise[1], i / float(B - 1)))
-    samples, n = sampler(lambda x, l: model_fn(eval_params, x, l), key, x0=x0)
+    samples, n = sampler(model_fn, key, x0=x0, params=eval_params)
     path = _save(samples, config.eval.eval_dir, str(idx))
     logger.info("saved %s (nfe=%d)", path, n)
     return path

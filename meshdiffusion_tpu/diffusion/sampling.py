@@ -288,6 +288,87 @@ def get_pc_sampler(sde: VPSDE,
         return jnp.clip(x0, -1.0, 1.0) * grid_mask
 
     rows = tables.stacked()
+    n_traj = ((sde.N - 1 - traj_start + traj_every - 1) // traj_every
+              if return_traj else 0)
+
+    # Jitted segment functions are cached across sampler CALLS keyed on
+    # (kind, model_fn identity, params-threading, length): round 1 jitted a
+    # fresh lambda per call, so every cond_gen/uncond_gen invocation re-traced
+    # and re-compiled all segments (~2-3 min each on the tunneled TPU).
+    seg_cache: Dict[tuple, Callable] = {}
+
+    def _uncond_seg(model_fn, has_params: bool, length: int):
+        ck = ('uncond', model_fn, has_params, length)
+        if ck not in seg_cache:
+            def run(p, carry, start):
+                mf = ((lambda xx, ll: model_fn(p, xx, ll)) if has_params
+                      else model_fn)
+
+                def body(carry, i):
+                    x, x_mean_prev, key, traj = carry
+                    active = i < sde.N - 1
+                    ii = jnp.minimum(i, sde.N - 1)
+                    row = {k: v[ii] for k, v in rows.items()}
+                    key, ck_, pk = jax.random.split(key, 3)
+                    x_new, x_mean = corrector_update(mf, row, x, ck_)
+                    x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
+                    x_new, x_mean = predictor_update(mf, row, x_new, pk)
+                    x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
+                    if return_traj:
+                        want = active & (i >= traj_start) & (i % traj_every == 0)
+                        slot = jnp.clip((i - traj_start) // traj_every, 0,
+                                        max(n_traj - 1, 0))
+                        x0 = compute_xzero(mf, x_new, row)
+                        traj = jax.lax.cond(
+                            want,
+                            lambda tr: jax.lax.dynamic_update_index_in_dim(
+                                tr, x0, slot, 0),
+                            lambda tr: tr, traj)
+                    x = jnp.where(active, x_new, x)
+                    x_mean = jnp.where(active, x_mean, x_mean_prev)
+                    return (x, x_mean, key, traj), None
+
+                return jax.lax.scan(body, carry, start + jnp.arange(length),
+                                    unroll=1)[0]
+            seg_cache[ck] = jax.jit(run)
+        return seg_cache[ck]
+
+    def _cond_seg(model_fn, has_params: bool, length: int):
+        ck = ('cond', model_fn, has_params, length)
+        if ck not in seg_cache:
+            def run(pr, carry, start, p, m, freeze_iters):
+                gm0 = grid_mask[..., 0]
+                mf = ((lambda xx, ll: model_fn(pr, xx, ll)) if has_params
+                      else model_fn)
+
+                def body(carry, i):
+                    x, x_mean_prev, key = carry
+                    active = i < sde.N
+                    ii = jnp.minimum(i, sde.N - 1)
+                    row = {k: v[ii] for k, v in rows.items()}
+                    key, ck_, pk, nk = jax.random.split(key, 4)
+                    x_new, x_mean = corrector_update(mf, row, x, ck_)
+                    x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
+                    x_new, x_mean = predictor_update(mf, row, x_new, pk)
+                    x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
+
+                    # mask-and-replace with fresh noise at the current level
+                    noise = jax.random.normal(nk, p.shape, dtype=jnp.float32)
+                    noised = row['marg_coeff'] * p + row['marg_std'] * noise
+                    x0 = (x_new[..., 0] * (1 - m) + noised * m) * gm0
+                    do = (i < freeze_iters) & (i != sde.N - 1)
+                    new_ch0 = jnp.where(do, x0, x_new[..., 0])
+                    x_new = x_new.at[..., 0].set(new_ch0)
+                    x_mean = x_mean.at[..., 0].set(
+                        jnp.where(do, new_ch0, x_mean[..., 0]))
+                    x = jnp.where(active, x_new, x)
+                    x_mean = jnp.where(active, x_mean, x_mean_prev)
+                    return (x, x_mean, key), None
+
+                return jax.lax.scan(body, carry, start + jnp.arange(length),
+                                    unroll=1)[0]
+            seg_cache[ck] = jax.jit(run)
+        return seg_cache[ck]
 
     def uncond_sampler(model_fn: ModelFn, key: jax.Array, params=None):
         """Unconditional: N-1 steps over timesteps[0..N-2] (reference :471).
@@ -299,50 +380,14 @@ def get_pc_sampler(sde: VPSDE,
         """
         key, pkey = jax.random.split(key)
         x = jax.random.normal(pkey, shape, dtype=jnp.float32) * grid_mask
-
-        n_traj = (sde.N - 1 - traj_start + traj_every - 1) // traj_every if return_traj else 0
         traj0 = jnp.zeros((max(n_traj, 1),) + tuple(shape), jnp.float32)
-
-        def run_scan(p, carry, start, length):
-            mf = ((lambda xx, ll: model_fn(p, xx, ll)) if params is not None
-                  else model_fn)
-
-            def body(carry, i):
-                x, x_mean_prev, key, traj = carry
-                active = i < sde.N - 1
-                ii = jnp.minimum(i, sde.N - 1)
-                row = {k: v[ii] for k, v in rows.items()}
-                key, ck, pk = jax.random.split(key, 3)
-                x_new, x_mean = corrector_update(mf, row, x, ck)
-                x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
-                x_new, x_mean = predictor_update(mf, row, x_new, pk)
-                x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
-                if return_traj:
-                    want = active & (i >= traj_start) & (i % traj_every == 0)
-                    slot = jnp.clip((i - traj_start) // traj_every, 0,
-                                    max(n_traj - 1, 0))
-                    x0 = compute_xzero(mf, x_new, row)
-                    traj = jax.lax.cond(
-                        want,
-                        lambda tr: jax.lax.dynamic_update_index_in_dim(
-                            tr, x0, slot, 0),
-                        lambda tr: tr, traj)
-                x = jnp.where(active, x_new, x)
-                x_mean = jnp.where(active, x_mean, x_mean_prev)
-                return (x, x_mean, key, traj), None
-
-            return jax.lax.scan(body, carry, start + jnp.arange(length),
-                                unroll=1)[0]
 
         carry = (x, x, key, traj0)
         total = sde.N - 1
-        if segment_steps is None:
-            carry = run_scan(params, carry, jnp.asarray(0), total)
-        else:
-            L = segment_steps
-            seg_fn = jax.jit(lambda p, c, s: run_scan(p, c, s, L))
-            for s in range(0, total, L):
-                carry = seg_fn(params, carry, jnp.asarray(s))
+        L = total if segment_steps is None else segment_steps
+        seg_fn = _uncond_seg(model_fn, params is not None, L)
+        for s in range(0, total, L):
+            carry = seg_fn(params, carry, jnp.asarray(s))
         x, x_mean, _, traj = carry
         out = x_mean if denoise else x
         if return_traj:
@@ -356,7 +401,8 @@ def get_pc_sampler(sde: VPSDE,
 
         partial / partial_mask: (1, R, R, R, 1). The SDF channel (channel 0)
         is re-imposed each step with freshly-noised partial values inside the
-        visibility mask, until ``freeze_iters``.
+        visibility mask, until ``freeze_iters``. partial/mask/freeze_iters
+        are jit ARGUMENTS, so new conditioning inputs reuse the compile.
         """
         gm0 = grid_mask[..., 0]          # (1, R, R, R)
         p = jnp.asarray(partial, jnp.float32)[..., 0] * gm0
@@ -372,45 +418,12 @@ def get_pc_sampler(sde: VPSDE,
         ch0 = (p * (1 - m) + noised0 * m) * gm0
         x = x.at[..., 0].set(jnp.broadcast_to(ch0, x.shape[:-1]))
 
-        def run_scan(pr, carry, start, length):
-            mf = ((lambda xx, ll: model_fn(pr, xx, ll)) if params is not None
-                  else model_fn)
-
-            def body(carry, i):
-                x, x_mean_prev, key = carry
-                active = i < sde.N
-                ii = jnp.minimum(i, sde.N - 1)
-                row = {k: v[ii] for k, v in rows.items()}
-                key, ck, pk, nk = jax.random.split(key, 4)
-                x_new, x_mean = corrector_update(mf, row, x, ck)
-                x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
-                x_new, x_mean = predictor_update(mf, row, x_new, pk)
-                x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
-
-                # mask-and-replace with fresh noise at the current level
-                noise = jax.random.normal(nk, p.shape, dtype=jnp.float32)
-                noised = row['marg_coeff'] * p + row['marg_std'] * noise
-                x0 = (x_new[..., 0] * (1 - m) + noised * m) * gm0
-                do = (i < freeze_iters) & (i != sde.N - 1)
-                new_ch0 = jnp.where(do, x0, x_new[..., 0])
-                x_new = x_new.at[..., 0].set(new_ch0)
-                x_mean = x_mean.at[..., 0].set(
-                    jnp.where(do, new_ch0, x_mean[..., 0]))
-                x = jnp.where(active, x_new, x)
-                x_mean = jnp.where(active, x_mean, x_mean_prev)
-                return (x, x_mean, key), None
-
-            return jax.lax.scan(body, carry, start + jnp.arange(length),
-                                unroll=1)[0]
-
         carry = (x, x, key)
-        if segment_steps is None:
-            carry = run_scan(params, carry, jnp.asarray(0), sde.N)
-        else:
-            L = segment_steps
-            seg_fn = jax.jit(lambda pr, c, s: run_scan(pr, c, s, L))
-            for s in range(0, sde.N, L):
-                carry = seg_fn(params, carry, jnp.asarray(s))
+        L = sde.N if segment_steps is None else segment_steps
+        seg_fn = _cond_seg(model_fn, params is not None, L)
+        fi = jnp.asarray(freeze_iters, jnp.int32)
+        for s in range(0, sde.N, L):
+            carry = seg_fn(params, carry, jnp.asarray(s), p, m, fi)
         x, x_mean, _ = carry
         out = x_mean if denoise else x
         return out, sde.N * (n_steps + 1)
@@ -483,36 +496,60 @@ def get_ddim_sampler(sde: VPSDE, shape: Tuple[int, ...],
         r2=jnp.asarray(a2p / a2, jnp.float32),
     )
 
+    # cached jitted runs keyed on (model_fn, params-threading, partial use):
+    # repeated sampler calls (e.g. interp sweeps) reuse one compile.
+    run_cache: Dict[tuple, Callable] = {}
+
+    def _ddim_run(model_fn, has_params: bool, has_partial: bool):
+        ck = (model_fn, has_params, has_partial)
+        if ck not in run_cache:
+            def run(pr, x, p, m):
+                mf = ((lambda xx, ll: model_fn(pr, xx, ll)) if has_params
+                      else model_fn)
+
+                def body(carry, row):
+                    x, _ = carry
+                    labels = jnp.full((batch,), row['labels'], dtype=jnp.float32)
+                    eps_hat = mf(x, labels)
+                    x0_pred_scaled = x - row['a2'] * eps_hat
+                    score_scaled_t = x - x0_pred_scaled
+                    x0_pred = x0_pred_scaled / row['a1']
+                    x_new = (row['r1'] * x
+                             + (-row['r1'] + row['r2']) * score_scaled_t)
+                    x_new = x_new * grid_mask
+                    x0_pred = x0_pred * grid_mask
+                    if has_partial:
+                        x_new = x_new.at[..., 0].set(
+                            x_new[..., 0] * (1 - m) + p * m)
+                        x0_pred = x0_pred.at[..., 0].set(
+                            x0_pred[..., 0] * (1 - m) + p * m)
+                    return (x_new, x0_pred), None
+
+                (x, x0_pred), _ = jax.lax.scan(
+                    body, (x, jnp.zeros_like(x)), coeffs)
+                out = x0_pred if denoise else x
+                return out * grid_mask
+            run_cache[ck] = jax.jit(run)
+        return run_cache[ck]
+
     def sampler(model_fn: ModelFn, key: jax.Array, x0=None,
-                partial=None, partial_mask=None):
+                partial=None, partial_mask=None, params=None):
         if x0 is not None:
             x = jnp.asarray(x0, jnp.float32) * grid_mask
         else:
             key, pkey = jax.random.split(key)
             x = jax.random.normal(pkey, shape, dtype=jnp.float32) * grid_mask
-        if partial is not None:
+        has_partial = partial is not None
+        if has_partial:
             p = jnp.asarray(partial, jnp.float32)[..., 0]
             m = jnp.asarray(partial_mask, jnp.float32)[..., 0]
             x = x.at[..., 0].set(x[..., 0] * (1 - m) + p * m)
+        else:
+            p = m = jnp.zeros((1,) + tuple(shape[1:4]), jnp.float32)
 
-        def body(carry, row):
-            x, _ = carry
-            labels = jnp.full((batch,), row['labels'], dtype=jnp.float32)
-            eps_hat = model_fn(x, labels)
-            x0_pred_scaled = x - row['a2'] * eps_hat
-            score_scaled_t = x - x0_pred_scaled
-            x0_pred = x0_pred_scaled / row['a1']
-            x_new = row['r1'] * x + (-row['r1'] + row['r2']) * score_scaled_t
-            x_new = x_new * grid_mask
-            x0_pred = x0_pred * grid_mask
-            if partial is not None:
-                x_new = x_new.at[..., 0].set(x_new[..., 0] * (1 - m) + p * m)
-                x0_pred = x0_pred.at[..., 0].set(x0_pred[..., 0] * (1 - m) + p * m)
-            return (x_new, x0_pred), None
-
-        (x, x0_pred), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), coeffs)
-        out = x0_pred if denoise else x
-        return out * grid_mask, sde.N * 2
+        run = _ddim_run(model_fn, params is not None, has_partial)
+        out = run(params, x, p, m)
+        return out, sde.N * 2
 
     return sampler
 
