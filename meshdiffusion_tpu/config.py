@@ -125,7 +125,8 @@ def get_default_config() -> ml_collections.ConfigDict:
     tpu.mesh_data_axis = -1          # -1: all devices on the data axis
     tpu.mesh_spatial_axis = 1        # spatial (grid-D) sharding factor
     tpu.donate_sampler_state = True
-    tpu.fused_groupnorm = False   # route GN+SiLU through the Pallas kernel
+    tpu.fused_groupnorm = False   # legacy standalone GN kernel (negative result)
+    tpu.fused_gn_silu_conv = True  # fuse GN+SiLU+conv3 in one Pallas pass
     tpu.tet_root = ""               # dir holding {R}_tets_cropped.npz; '' -> bundled default
 
     return config

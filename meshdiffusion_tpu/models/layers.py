@@ -166,42 +166,127 @@ class GroupNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
+def _fusable_gn_conv(shape) -> bool:
+    """Static-shape gate for the fused GN+SiLU+conv kernel: planes large
+    enough to feed the MXU (>= 32^2 rows), lane-aligned channels, and a
+    VMEM budget that holds three normalized planes (C <= 256)."""
+    B, D, H, W, C = shape
+    return H * W >= 1024 and W % 8 == 0 and C % 128 == 0 and C <= 256
+
+
+class _GNParams(nn.Module):
+    """Parameter-only stand-in for the GroupNorm wrapper: same tree paths
+    (<name>/norm/{scale,bias})."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _ParamHolder(features=self.features, name='norm')(None)
+
+
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for Conv3D: same tree paths/shapes
+    (<name>/conv/{kernel,bias}) so checkpoints are implementation-free."""
+    features: int
+    kernel: int = 3
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        holder = _ConvParamLeaf(features=self.features, kernel=self.kernel,
+                                init_scale=self.init_scale, name='conv')
+        return holder(in_ch)
+
+
+class _ConvParamLeaf(nn.Module):
+    features: int
+    kernel: int
+    init_scale: float
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        k = self.kernel
+        w = self.param('kernel', ddpm_init(self.init_scale),
+                       (k, k, k, in_ch, self.features))
+        b = self.param('bias', nn.initializers.zeros, (self.features,))
+        return w, b
+
+
 class ResnetBlockDDPM(nn.Module):
     """GN-SiLU-conv / +temb / GN-SiLU-drop-conv(zero) with NIN shortcut.
 
-    Reference layers.py:646-689. ``fused_gn``: route the GN+SiLU pairs
-    through the Pallas kernel (ops/groupnorm.py) instead of flax GN —
-    identical math (fp32 statistics), same param tree.
+    Reference layers.py:646-689. ``fused_gn_conv``: route each
+    GN+SiLU+conv3 chain through the single-pass Pallas kernel
+    (ops/gn_silu_conv.py) on TPU — identical math (fp32 GN statistics,
+    bf16 conv) and an identical param tree, with automatic fallback for
+    shapes outside the kernel's envelope and for the dropout-active
+    second conv. ``fused_gn`` (legacy, standalone GN kernel) is kept for
+    the recorded negative result in BASELINE.md.
     """
     out_ch: Optional[int] = None
     temb_dim: Optional[int] = None
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     fused_gn: bool = False
+    fused_gn_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None,
                  *, deterministic: bool = True) -> jnp.ndarray:
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        GN = _FusedGN if self.fused_gn else GroupNorm
-
-        h = GN(name='GroupNorm_0')(x) if self.fused_gn \
-            else nn.silu(GroupNorm(name='GroupNorm_0')(x))
-        h = Conv3D(out_ch, 3, dtype=self.dtype, name='Conv_0')(h)
-        if temb is not None:
-            t = nn.Dense(out_ch, kernel_init=ddpm_init(),
-                         bias_init=nn.initializers.zeros,
-                         dtype=self.dtype, param_dtype=jnp.float32,
-                         name='Dense_0')(nn.silu(temb))
-            h = h + t[:, None, None, None, :].astype(h.dtype)
-        h = GN(name='GroupNorm_1')(h) if self.fused_gn \
-            else nn.silu(GroupNorm(name='GroupNorm_1')(h))
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = Conv3D(out_ch, 3, init_scale=0.0, dtype=self.dtype, name='Conv_1')(h)
+        if self.fused_gn_conv and _fusable_gn_conv(x.shape):
+            h = self._fused_body(x, temb, out_ch, deterministic)
+        else:
+            h = self._plain_body(x, temb, out_ch, deterministic)
         if in_ch != out_ch:
             x = NIN(out_ch, dtype=self.dtype, name='NIN_0')(x)
         return x + h
+
+    def _plain_body(self, x, temb, out_ch, deterministic):
+        GN = _FusedGN if self.fused_gn else GroupNorm
+        h = GN(name='GroupNorm_0')(x) if self.fused_gn \
+            else nn.silu(GroupNorm(name='GroupNorm_0')(x))
+        h = Conv3D(out_ch, 3, dtype=self.dtype, name='Conv_0')(h)
+        h = self._add_temb(h, temb)
+        h = GN(name='GroupNorm_1')(h) if self.fused_gn \
+            else nn.silu(GroupNorm(name='GroupNorm_1')(h))
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return Conv3D(out_ch, 3, init_scale=0.0, dtype=self.dtype,
+                      name='Conv_1')(h)
+
+    def _fused_body(self, x, temb, out_ch, deterministic):
+        from ..ops.gn_silu_conv import (gn_silu_conv3d,
+                                        gn_silu_conv3d_reference)
+        in_ch = x.shape[-1]
+        sc0, bi0 = _GNParams(in_ch, name='GroupNorm_0')()
+        kw0, kb0 = _ConvParams(out_ch, name='Conv_0')(in_ch)
+        sc1, bi1 = _GNParams(out_ch, name='GroupNorm_1')()
+        kw1, kb1 = _ConvParams(out_ch, init_scale=0.0, name='Conv_1')(out_ch)
+
+        h = gn_silu_conv3d(x, sc0, bi0, kw0, kb0, 32, 1e-6, self.dtype)
+        h = self._add_temb(h, temb)
+        if deterministic or self.dropout == 0.0:
+            return gn_silu_conv3d(h, sc1, bi1, kw1, kb1, 32, 1e-6, self.dtype)
+        # dropout sits between SiLU and the conv: decomposed path with the
+        # same parameters (training only; fp32-stat GN as everywhere).
+        from ..ops.groupnorm import groupnorm_silu_reference
+        t = groupnorm_silu_reference(h, sc1, bi1)
+        t = nn.Dropout(self.dropout, deterministic=False)(t)
+        y = jax.lax.conv_general_dilated(
+            t.astype(self.dtype), kw1.astype(self.dtype), (1, 1, 1), 'SAME',
+            dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
+            preferred_element_type=self.dtype)
+        return y + kb1.astype(self.dtype)
+
+    def _add_temb(self, h, temb):
+        if temb is None:
+            return h
+        t = nn.Dense(h.shape[-1], kernel_init=ddpm_init(),
+                     bias_init=nn.initializers.zeros,
+                     dtype=self.dtype, param_dtype=jnp.float32,
+                     name='Dense_0')(nn.silu(temb))
+        return h + t[:, None, None, None, :].astype(h.dtype)
 
 
 class _FusedGN(nn.Module):

@@ -54,6 +54,7 @@ class UNet3D(nn.Module):
     num_scales: int = 1000
     dtype: Dtype = jnp.float32
     fused_gn: bool = False
+    fused_gn_conv: bool = True
 
     @classmethod
     def from_config(cls, config, **overrides):
@@ -79,6 +80,7 @@ class UNet3D(nn.Module):
             num_scales=m.num_scales,
             dtype=jnp.dtype(config.tpu.compute_dtype) if 'tpu' in config else jnp.float32,
             fused_gn=bool(config.tpu.get('fused_groupnorm', False)) if 'tpu' in config else False,
+            fused_gn_conv=bool(config.tpu.get('fused_gn_silu_conv', True)) if 'tpu' in config else True,
         )
         kw.update(overrides)
         return cls(**kw)
@@ -103,7 +105,8 @@ class UNet3D(nn.Module):
 
         Res = lambda out_ch, name: layers.ResnetBlockDDPM(
             out_ch=out_ch, temb_dim=4 * nf, dropout=self.dropout, dtype=dt,
-            fused_gn=self.fused_gn, name=name)
+            fused_gn=self.fused_gn, fused_gn_conv=self.fused_gn_conv,
+            name=name)
 
         # timestep embedding
         if self.conditional:

@@ -14,3 +14,4 @@ normalization used at every residual block.
 
 from .sampler_step import ancestral_update, ancestral_update_reference  # noqa: F401
 from .groupnorm import fused_groupnorm_silu, groupnorm_silu_reference  # noqa: F401
+from .gn_silu_conv import gn_silu_conv3d, gn_silu_conv3d_reference  # noqa: F401

@@ -1,0 +1,99 @@
+"""Fused GN+SiLU+conv3 kernel vs jnp oracle (values and gradients).
+
+Follows the reference's dual-implementation pattern
+(nvdiffrec/lib/render/renderutils/tests/*: CUDA kernel vs python golden);
+here the Pallas kernel runs in interpreter mode on the CPU test platform.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from meshdiffusion_tpu.ops.gn_silu_conv import (
+    gn_silu_conv3d, gn_silu_conv3d_pallas, gn_silu_conv3d_reference)
+
+
+def _inputs(rng, B=1, D=6, H=8, W=8, C=128, O=64, dtype=jnp.float32):
+    x = jnp.asarray(rng.standard_normal((B, D, H, W, C)), dtype)
+    sc = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C), jnp.float32)
+    bi = jnp.asarray(0.1 * rng.standard_normal(C), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, C, O)) * 0.05, jnp.float32)
+    cb = jnp.asarray(0.1 * rng.standard_normal(O), jnp.float32)
+    return x, sc, bi, k, cb
+
+
+@pytest.mark.parametrize('shape', [
+    (1, 6, 8, 8, 128, 64),    # min plane, asymmetric D
+    (2, 4, 8, 16, 128, 128),  # batch > 1, H != W
+    (1, 3, 8, 8, 256, 32),    # C = 256 (two lane tiles), small D
+])
+def test_kernel_matches_oracle(rng, shape):
+    B, D, H, W, C, O = shape
+    x, sc, bi, k, cb = _inputs(rng, B, D, H, W, C, O)
+    # fp32 compute dtype so interpreter rounding matches the oracle tightly
+    want = gn_silu_conv3d_reference(x, sc, bi, k, cb, dtype=jnp.float32)
+    got = gn_silu_conv3d_pallas(x, sc, bi, k, cb, dtype=jnp.float32,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_bf16_close(rng):
+    x, sc, bi, k, cb = _inputs(rng)
+    want = gn_silu_conv3d_reference(x, sc, bi, k, cb, dtype=jnp.bfloat16)
+    got = gn_silu_conv3d_pallas(x, sc, bi, k, cb, dtype=jnp.bfloat16,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.1, atol=0.1)
+
+
+def test_custom_vjp_grads_match_reference(rng):
+    """The public op's gradients equal autodiff through the composition."""
+    x, sc, bi, k, cb = _inputs(rng, D=4, C=128, O=32)
+
+    def loss_fused(*a):
+        return jnp.sum(gn_silu_conv3d(*a, 32, 1e-6, jnp.float32) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(
+            gn_silu_conv3d_reference(*a, dtype=jnp.float32) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, sc, bi, k, cb)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, sc, bi, k, cb)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_model_tree_identical_and_output_close(rng):
+    """fused_gn_conv=True produces the same param tree as the plain path
+    and (numerically) the same forward, so checkpoints interchange."""
+    from meshdiffusion_tpu.models.layers import ResnetBlockDDPM
+    x = jnp.asarray(rng.standard_normal((1, 4, 32, 32, 128)), jnp.float32)
+    temb = jnp.asarray(rng.standard_normal((1, 512)), jnp.float32)
+
+    plain = ResnetBlockDDPM(out_ch=128, dropout=0.0)
+    fused = ResnetBlockDDPM(out_ch=128, dropout=0.0, fused_gn_conv=True)
+    p1 = plain.init({'params': jax.random.key(0)}, x, temb)
+    p2 = fused.init({'params': jax.random.key(0)}, x, temb)
+    assert jax.tree.structure(p1) == jax.tree.structure(p2)
+    s1 = jax.tree.map(lambda a: a.shape, p1)
+    s2 = jax.tree.map(lambda a: a.shape, p2)
+    assert s1 == s2
+
+    y1 = plain.apply(p1, x, temb)
+    # on the CPU test platform the fused op falls back to the reference
+    # composition — this checks the wiring, not the kernel (above does that)
+    y2 = fused.apply(p1, x, temb)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_small_planes_not_fused(rng):
+    """Shapes outside the kernel envelope route through the plain path."""
+    from meshdiffusion_tpu.models.layers import _fusable_gn_conv
+    assert _fusable_gn_conv((1, 4, 32, 32, 128))
+    assert not _fusable_gn_conv((1, 4, 16, 16, 128))   # plane too small
+    assert not _fusable_gn_conv((1, 4, 32, 32, 512))   # C over VMEM budget
