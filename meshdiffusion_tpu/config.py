@@ -123,6 +123,8 @@ def get_default_config() -> ml_collections.ConfigDict:
     tpu.compute_dtype = 'bfloat16'   # conv/matmul compute dtype
     tpu.param_dtype = 'float32'
     tpu.mesh_data_axis = -1          # -1: all devices on the data axis
+    tpu.allow_device_idle = False    # permit shrinking the mesh when the
+    # batch does not divide the data axis (otherwise: hard error)
     tpu.mesh_spatial_axis = 1        # spatial (grid-D) sharding factor
     tpu.donate_sampler_state = True
     tpu.fused_groupnorm = False   # legacy standalone GN kernel (negative result)

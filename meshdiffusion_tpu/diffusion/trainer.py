@@ -79,10 +79,20 @@ class MetricWriter:
 
 
 def train(config, max_steps: int | None = None):
-    """Run the training loop. Returns the final TrainState."""
+    """Run the training loop. Returns the final TrainState.
+
+    Multi-host: launch one process per host with MESHDIFFUSION_COORDINATOR/
+    NUM_PROCESSES/PROCESS_ID set (parallel/distributed.py); each process
+    feeds its local slice of the global batch, XLA psums gradients over
+    ICI+DCN, and orbax coordinates checkpoint I/O."""
+    from ..parallel.distributed import (form_global_batch, maybe_initialize,
+                                        process_local_batch_size)
+    maybe_initialize()
+    is_main = jax.process_index() == 0
+
     workdir = config.training.train_dir
     logger.info("working dir: %s", workdir)
-    writer = MetricWriter(workdir)
+    writer = MetricWriter(workdir) if is_main else None
 
     R = config.data.image_size
     mask_host = load_grid_mask(config)                       # (R, R, R)
@@ -93,12 +103,19 @@ def train(config, max_steps: int | None = None):
     data_axis = config.tpu.mesh_data_axis
     if data_axis == -1:
         data_axis = n_dev // spatial
-    # the data axis must divide the per-step batch; shrink to the largest
-    # divisor and leave the rest of the devices unused rather than crash
+    # the data axis must divide the per-step batch; a silent shrink would
+    # quietly idle devices (e.g. batch 50 on 8 chips -> 2 used), so this is
+    # an error unless explicitly opted into via tpu.allow_device_idle
     bs = config.training.batch_size
-    while data_axis > 1 and bs % data_axis != 0:
-        data_axis -= 1
-    if data_axis * spatial < n_dev:
+    if bs % data_axis != 0:
+        if not config.tpu.get('allow_device_idle', False):
+            raise ValueError(
+                f'training.batch_size={bs} is not divisible by the data mesh '
+                f'axis ({data_axis} = {n_dev} devices / spatial {spatial}); '
+                f'pick a divisible batch, set tpu.mesh_data_axis, or set '
+                f'tpu.allow_device_idle=True to shrink the mesh')
+        while data_axis > 1 and bs % data_axis != 0:
+            data_axis -= 1
         logger.warning('mesh uses %d of %d devices (batch %d not divisible)',
                        data_axis * spatial, n_dev, bs)
     mesh = make_mesh(data_axis, spatial,
@@ -118,12 +135,18 @@ def train(config, max_steps: int | None = None):
     rng = jax.random.key(config.seed)
     rng, init_rng, state_rng = jax.random.split(rng, 3)
     x0 = jnp.zeros((1, R, R, R, config.data.num_channels))
-    params = model.init({'params': init_rng}, x0, jnp.zeros((1,)), mask)
-    n_params = sum(p.size for p in jax.tree.leaves(params))
-    logger.info("model %s: %.1fM params", config.model.name, n_params / 1e6)
 
-    state = L.TrainState.create(params, tx, state_rng)
-    state = jax.device_put(state, rep)
+    # jit-init with replicated out_shardings: every process runs the same
+    # deterministic program, so the result is a valid GLOBAL array even in
+    # multi-process launches (a host-side init + device_put could only
+    # address local devices).
+    def _init(init_rng, state_rng):
+        params = model.init({'params': init_rng}, x0, jnp.zeros((1,)), mask)
+        return L.TrainState.create(params, tx, state_rng)
+
+    state = jax.jit(_init, out_shardings=rep)(init_rng, state_rng)
+    n_params = sum(p.size for p in jax.tree.leaves(state.params))
+    logger.info("model %s: %.1fM params", config.model.name, n_params / 1e6)
 
     # preemption resume (reference trainer.py:44-52)
     ckpt_meta_dir = os.path.join(workdir, 'checkpoints-meta')
@@ -138,6 +161,10 @@ def train(config, max_steps: int | None = None):
                           iter_size=config.training.iter_size),
         donate_argnums=(0,))
 
+    # per-process data feed: each process loads 1/process_count of the
+    # global batch with a process-distinct shuffle seed
+    local_bs = process_local_batch_size(config.training.batch_size)
+    data_seed = config.seed + 1031 * jax.process_index()
     dataset = ShapeNetDMTetDataset(
         config.data.meta_path, mask_host,
         deform_scale=config.model.deform_scale,
@@ -147,7 +174,7 @@ def train(config, max_steps: int | None = None):
                           else None),
         normalize_sdf=config.data.normalize_sdf,
         extension=config.data.extension,
-        seed=config.seed)
+        seed=data_seed)
     iter_size = config.training.iter_size
     loader = None
     if config.data.extension == 'npy':
@@ -157,18 +184,18 @@ def train(config, max_steps: int | None = None):
             from ..native import NativeGridLoader
             loader = NativeGridLoader(
                 dataset.fpath_list, mask_host,
-                batch_size=config.training.batch_size * iter_size,
+                batch_size=local_bs * iter_size,
                 aug=config.data.aug,
                 normalize_sdf=config.data.normalize_sdf,
-                num_workers=config.data.num_workers, seed=config.seed)
+                num_workers=config.data.num_workers, seed=data_seed)
             logger.info('using native C++ grid loader')
         except Exception as e:
             logger.warning('native loader unavailable (%s); using python loader', e)
     if loader is None:
         loader = GridLoader(dataset,
-                            batch_size=config.training.batch_size * iter_size,
+                            batch_size=local_bs * iter_size,
                             num_workers=config.data.num_workers,
-                            seed=config.seed)
+                            seed=data_seed)
 
     n_iters = config.training.n_iters if max_steps is None else max_steps
     logger.info("Starting training loop at step %d.", initial_step)
@@ -177,9 +204,8 @@ def train(config, max_steps: int | None = None):
     try:
         for step in range(initial_step, n_iters + 1):
             batch = next(loader)
-            batch = batch.reshape((iter_size, config.training.batch_size)
-                                  + batch.shape[1:])
-            batch = jax.device_put(batch, batch_sharding)
+            batch = batch.reshape((iter_size, local_bs) + batch.shape[1:])
+            batch = form_global_batch(batch, batch_sharding)
             state, metrics = train_step(state, batch)
 
             if step % config.training.log_freq == 0:
@@ -188,7 +214,8 @@ def train(config, max_steps: int | None = None):
                 t_last = time.time()
                 logger.info("step: %d, training_loss: %.5e (%.2fs/%d steps)",
                             step, loss, dt, config.training.log_freq)
-                writer.scalar("training_loss", loss, step)
+                if writer is not None:
+                    writer.scalar("training_loss", loss, step)
 
             if step != 0 and step % config.training.snapshot_freq_for_preemption == 0:
                 logger.info("save meta at iter %d", step)
@@ -200,5 +227,6 @@ def train(config, max_steps: int | None = None):
                 save_checkpoint(ckpt_dir, state)
     finally:
         loader.close()
-        writer.close()
+        if writer is not None:
+            writer.close()
     return state

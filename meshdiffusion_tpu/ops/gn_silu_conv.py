@@ -150,9 +150,22 @@ def gn_silu_conv3d_pallas(x, scale, bias, kernel, conv_bias,
     ab = jnp.stack([a, b], axis=1)[:, None]            # (B, 1, 2, C)
     k27 = kernel.reshape(27, C, O).astype(dtype)
     cb = conv_bias.astype(jnp.float32)[None]           # (1, O)
+    # statistics above use the original precision; the kernel streams the
+    # activation in compute dtype (halves DMA traffic + VMEM for the fp32
+    # residual-sum inputs of the up path)
+    x = x.astype(dtype)
 
     grid = (B, D + 1)
     kern = functools.partial(_kernel, D=D, H=H, W=W, C=C, O=O, dtype=dtype)
+    esz = jnp.dtype(dtype).itemsize
+    # VMEM: rolling normalized window + double-buffered in/out blocks +
+    # fp32 accumulator + tap weights, with headroom for Mosaic's own stack
+    # (measured: the C=256 64^3 blocks need ~20 MB — above the default
+    # 16 MB scoped limit; v5e has far more physical VMEM).
+    vmem_bytes = int(1.4 * (3 * hwp * C * esz + 2 * HW * C * esz
+                            + HW * O * 4 + 2 * HW * O * esz
+                            + 27 * C * O * esz + (2 * C + O) * 4))
+    vmem_bytes = max(vmem_bytes, 24 * 2 ** 20)
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -176,6 +189,7 @@ def gn_silu_conv3d_pallas(x, scale, bias, kernel, conv_bias,
             pltpu.VMEM((3, hwp, C), dtype),
             pltpu.VMEM((HW, O), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=interpret,
     )(ab, k27, cb, x)
     return out.reshape(B, D, H, W, O)

@@ -70,3 +70,16 @@ def test_train_and_resume(train_config):
     lines = [json.loads(l) for l in open(metrics_path)]
     assert any(l['tag'] == 'training_loss' for l in lines)
     assert all(np.isfinite(l['value']) for l in lines)
+
+
+def test_indivisible_batch_errors(train_config):
+    """batch not divisible by the data axis is a hard error (no silent
+    device idling) unless tpu.allow_device_idle opts in."""
+    import pytest
+    from meshdiffusion_tpu.diffusion.trainer import train
+    train_config.training.batch_size = 3   # data axis is 4 on the 8-dev mesh
+    with pytest.raises(ValueError, match='not divisible'):
+        train(train_config, max_steps=1)
+    train_config.tpu.allow_device_idle = True
+    state = train(train_config, max_steps=1)
+    assert int(state.step) == 2
