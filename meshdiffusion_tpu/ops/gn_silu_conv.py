@@ -82,7 +82,7 @@ def _pad_rows(W: int) -> int:
     return -(-(W + 1) // 8) * 8
 
 
-def _kernel(ab_ref, k_ref, cb_ref, x_ref, out_ref, xn_ref, acc_ref,
+def _kernel(ab_ref, k_ref, cb_ref, x_ref, out_ref, xn_ref,
             *, D, H, W, C, O, dtype):
     j = pl.program_id(1)
     HW = H * W
@@ -92,9 +92,11 @@ def _kernel(ab_ref, k_ref, cb_ref, x_ref, out_ref, xn_ref, acc_ref,
     def _():
         xn_ref[:] = jnp.zeros_like(xn_ref)
 
-    # Normalize incoming plane j into rolling slot j % 3 (zero the slot
-    # past the end so plane D-1's output sees a zero d+1 neighbor).
-    slot = j % 3
+    # Lag-2 pipeline: step j normalizes plane j (VPU) and emits output
+    # plane d = j - 2 (MXU) — the two phases share no data, so Mosaic can
+    # overlap vector and matrix work instead of serializing
+    # normalize(j) -> matmuls(j) as a lag-1 design would.
+    slot = j % 4
 
     @pl.when(j < D)
     def _():
@@ -109,21 +111,21 @@ def _kernel(ab_ref, k_ref, cb_ref, x_ref, out_ref, xn_ref, acc_ref,
     def _():
         xn_ref[slot, pl.ds(pad, HW), :] = jnp.zeros((HW, C), xn_ref.dtype)
 
-    # Emit output plane d = j - 1 from normalized planes {d-1, d, d+1}.
-    @pl.when(j >= 1)
+    # Emit output plane d = j - 2 from normalized planes {d-1, d, d+1}.
+    @pl.when(j >= 2)
     def _():
         # W-edge masks: a +-1 column shift in flattened rows wraps across
-        # H rows; zero the wrapped rows. (HW, 1), built once per step.
+        # H rows; zero the wrapped rows.
         w_id = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0) % W
-        m_left = (w_id != 0).astype(dtype)        # tap reads col w-1
+        m_left = (w_id != 0).astype(dtype)         # tap reads col w-1
         m_right = (w_id != (W - 1)).astype(dtype)  # tap reads col w+1
 
-        acc_ref[:] = jnp.zeros((HW, O), jnp.float32)
+        acc = cb_ref[0:1, :] * jnp.ones((HW, 1), jnp.float32)
         for kd in range(3):
-            # plane index (j-1) - 1 + kd lives in slot (j + kd + 1) % 3;
-            # the low edge (plane -1) reads slot 2, untouched zeros until
-            # j == 2; the high edge is zeroed by the j >= D branch above.
-            s_id = (j + kd + 1) % 3
+            # plane index (j-2) - 1 + kd lives in slot (j + kd + 1) % 4;
+            # the low edge (plane -1) reads slot 3, untouched zeros until
+            # j == 3; the high edge is zeroed by the j >= D branch above.
+            s_id = (j + kd + 1) % 4
             for kh in range(3):
                 for kw in range(3):
                     shift = (kh - 1) * W + (kw - 1)
@@ -132,9 +134,9 @@ def _kernel(ab_ref, k_ref, cb_ref, x_ref, out_ref, xn_ref, acc_ref,
                         win = win * m_left
                     elif kw == 2:
                         win = win * m_right
-                    acc_ref[:] += jnp.dot(win, k_ref[kd * 9 + kh * 3 + kw],
-                                          preferred_element_type=jnp.float32)
-        out_ref[0, 0] = (acc_ref[:] + cb_ref[0:1, :]).astype(out_ref.dtype)
+                    acc += jnp.dot(win, k_ref[kd * 9 + kh * 3 + kw],
+                                   preferred_element_type=jnp.float32)
+        out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
 def gn_silu_conv3d_pallas(x, scale, bias, kernel, conv_bias,
@@ -155,14 +157,14 @@ def gn_silu_conv3d_pallas(x, scale, bias, kernel, conv_bias,
     # residual-sum inputs of the up path)
     x = x.astype(dtype)
 
-    grid = (B, D + 1)
+    grid = (B, D + 2)
     kern = functools.partial(_kernel, D=D, H=H, W=W, C=C, O=O, dtype=dtype)
     esz = jnp.dtype(dtype).itemsize
-    # VMEM: rolling normalized window + double-buffered in/out blocks +
-    # fp32 accumulator + tap weights, with headroom for Mosaic's own stack
-    # (measured: the C=256 64^3 blocks need ~20 MB — above the default
-    # 16 MB scoped limit; v5e has far more physical VMEM).
-    vmem_bytes = int(1.4 * (3 * hwp * C * esz + 2 * HW * C * esz
+    # VMEM: rolling normalized window (4 slots, lag-2 pipeline) +
+    # double-buffered in/out blocks + fp32 accumulator + tap weights, with
+    # headroom for Mosaic's own stack. Above the default 16 MB scoped
+    # limit at the 64^3 shapes; v5e has far more physical VMEM.
+    vmem_bytes = int(1.4 * (4 * hwp * C * esz + 2 * HW * C * esz
                             + HW * O * 4 + 2 * HW * O * esz
                             + 27 * C * O * esz + (2 * C + O) * 4))
     vmem_bytes = max(vmem_bytes, 24 * 2 ** 20)
@@ -182,12 +184,11 @@ def gn_silu_conv3d_pallas(x, scale, bias, kernel, conv_bias,
         ],
         out_specs=pl.BlockSpec(
             (1, 1, HW, O),
-            lambda bi, j: (bi, jnp.maximum(j - 1, 0), 0, 0),
+            lambda bi, j: (bi, jnp.maximum(j - 2, 0), 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, D, HW, O), dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, hwp, C), dtype),
-            pltpu.VMEM((HW, O), jnp.float32),
+            pltpu.VMEM((4, hwp, C), dtype),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=interpret,
