@@ -128,6 +128,12 @@ def main():
             "sec_per_mesh": round(sec_per_mesh, 3),
             "ms_per_unet_step": round(t_sample / max(steps - 1, 1) * 1000, 3),
             "compile_s": round(t_compile, 3),
+            # persistent-cache telemetry: warm runs pay dispatch only (the
+            # cache behavior was previously undocumented in BENCH artifacts)
+            "jax_cache_entries": len(os.listdir(
+                os.environ['JAX_COMPILATION_CACHE_DIR'])) if os.path.isdir(
+                    os.environ['JAX_COMPILATION_CACHE_DIR']) else 0,
+            "fused_gn_silu_conv": bool(cfg.tpu.fused_gn_silu_conv),
             "device": str(jax.devices()[0]),
         },
     }

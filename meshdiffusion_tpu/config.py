@@ -128,7 +128,11 @@ def get_default_config() -> ml_collections.ConfigDict:
     tpu.mesh_spatial_axis = 1        # spatial (grid-D) sharding factor
     tpu.donate_sampler_state = True
     tpu.fused_groupnorm = False   # legacy standalone GN kernel (negative result)
-    tpu.fused_gn_silu_conv = True  # fuse GN+SiLU+conv3 in one Pallas pass
+    # fuse GN+SiLU+conv3 in one Pallas pass. The isolated kernel beats the
+    # XLA chain 19-29% (ops/gn_silu_conv.py), but the measured FULL-model
+    # step regressed (79.1 vs 73.4 ms: lost cross-op fusions around the
+    # opaque pallas_call) — off until an in-model win is demonstrated.
+    tpu.fused_gn_silu_conv = False
     tpu.tet_root = ""               # dir holding {R}_tets_cropped.npz; '' -> bundled default
 
     return config

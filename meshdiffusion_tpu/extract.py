@@ -49,8 +49,14 @@ _GRID_TO_MESH_CACHE = {}
 
 def extract_grid(grid: np.ndarray, tet_grid: TetGrid, out_path: str,
                  mesh_scale: float = 2.1, deform_scale: float = 1.0,
-                 num_smooth_steps: int = 3, unnormalized_sdf: bool = False):
-    """One (4, R, R, R) channel-first grid -> smoothed .obj at out_path."""
+                 num_smooth_steps: int = 3, unnormalized_sdf: bool = False,
+                 remesh: bool = True):
+    """One (4, R, R, R) channel-first grid -> post-processed .obj.
+
+    Post-process order mirrors reference eval.py:449-456: isotropic
+    remeshing -> uniform Laplacian smoothing (num_smooth_steps) ->
+    isotropic remeshing (``remesh=False`` keeps the raw marching-tets
+    tessellation, smoothing only)."""
     key = (id(tet_grid), mesh_scale, deform_scale, unnormalized_sdf)
     if key not in _GRID_TO_MESH_CACHE:
         _GRID_TO_MESH_CACHE[key] = make_grid_to_mesh(
@@ -59,10 +65,16 @@ def extract_grid(grid: np.ndarray, tet_grid: TetGrid, out_path: str,
     g = jnp.asarray(np.moveaxis(np.asarray(grid, np.float32), 0, -1))
     out = fn(g)
     verts, faces = compact_mesh(out)
+    if remesh and len(faces):
+        from .geometry.remesh import isotropic_remesh
+        verts, faces = isotropic_remesh(verts, faces)
     if num_smooth_steps > 0 and len(faces):
         verts = np.asarray(laplacian_smooth(jnp.asarray(verts),
                                             jnp.asarray(faces.astype(np.int32)),
                                             steps=num_smooth_steps))
+    if remesh and len(faces):
+        from .geometry.remesh import isotropic_remesh
+        verts, faces = isotropic_remesh(verts, faces)
     write_obj(out_path, verts, faces)
     return verts, faces
 
@@ -103,7 +115,8 @@ def extract_batch(sample_path: str, out_dir: str, resolution: int = 64,
                   mesh_scale: float = 2.1, deform_scale: float = 1.0,
                   num_smooth_steps: int = 3, unnormalized_sdf: bool = False,
                   tet_root: Optional[str] = None, viz_name: str = 'viz',
-                  save_viz: bool = False, angle_ind: int = 25):
+                  save_viz: bool = False, angle_ind: int = 25,
+                  remesh: bool = True):
     """All samples in one .npy batch file -> .obj meshes
     (reference eval.py:400-456)."""
     tg = TetGrid.load(resolution, tet_root)
@@ -117,7 +130,7 @@ def extract_batch(sample_path: str, out_dir: str, resolution: int = 64,
     for i in range(data_all.shape[0]):
         p = os.path.join(mesh_dir, f'{i:06d}.obj')
         v, f = extract_grid(data_all[i], tg, p, mesh_scale, deform_scale,
-                            num_smooth_steps, unnormalized_sdf)
+                            num_smooth_steps, unnormalized_sdf, remesh=remesh)
         logger.info('%s: %d verts, %d faces', p, len(v), len(f))
         if save_viz and len(f):
             png = os.path.join(out_dir, 'viz', f'{viz_name}_{i:06d}.png')

@@ -96,6 +96,8 @@ class FitConfig:
     tet_root: Optional[str] = None
     normal_only: bool = True
     raster_K: int = 256
+    antialias: bool = True     # analytic edge AA (dr.antialias equivalent)
+    save_baked: bool = False   # UV-unwrap + bake MLP material after pass 2
     surface_samples: int = 50000
     log_interval: int = 10
     validate: bool = False
@@ -156,15 +158,16 @@ def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
         material = _material_for_step(cfg, mat_module, mat_params)
         tgt = {k: v for k, v in target.items() if not k.startswith('_')}
         if pass_idx == 0:
-            img_loss, reg_loss, _ = fitter.tick(
+            img_loss, reg_loss, bufs = fitter.tick(
                 state, material, renderer.envlight, tgt, iteration, key,
-                image_loss_fn, raster_K=cfg.raster_K)
+                image_loss_fn, raster_K=cfg.raster_K, aa=cfg.antialias)
         else:
-            img_loss, reg_loss, _ = fitter.tick_fixed(
+            img_loss, reg_loss, bufs = fitter.tick_fixed(
                 state, init_v_pos, material, renderer.envlight, tgt,
                 iteration, key, image_loss_fn, mesh_edges,
-                raster_K=cfg.raster_K)
-        return img_loss + reg_loss, (img_loss, reg_loss)
+                raster_K=cfg.raster_K, aa=cfg.antialias)
+        overflow = bufs.get('raster_overflow', jnp.zeros((), jnp.int32))
+        return img_loss + reg_loss, (img_loss, reg_loss, overflow)
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
@@ -173,7 +176,7 @@ def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
         geo_leaves = {'sdf': state.sdf, 'deform': state.deform}
         target = dict(target)
         target['_state'] = state
-        (total, (img_loss, reg_loss)), (g_geo, g_mat) = grad_fn(
+        (total, (img_loss, reg_loss, overflow)), (g_geo, g_mat) = grad_fn(
             geo_leaves, mat_params, target, iteration, key)
 
         if pass_idx == 1:
@@ -199,7 +202,8 @@ def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
             state = fitter.carve_occluded(state, target, iteration)
         state = fitter.clamp(state)
         state = fitter.update_ema(state)
-        metrics = {'img_loss': img_loss, 'reg_loss': reg_loss, 'total': total}
+        metrics = {'img_loss': img_loss, 'reg_loss': reg_loss, 'total': total,
+                   'raster_overflow': overflow}
         return state, mat_params, opt_geo, opt_mat, metrics
 
     return jax.jit(step), tx_geo, tx_mat
@@ -258,23 +262,44 @@ def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
 
     def run_pass(fitter, state, mat_params, pass_idx, init_v_pos=None,
                  mesh_edges=None):
-        step, tx_geo, tx_mat = make_fit_step(fitter, cfg, renderer,
+        pass_cfg = cfg
+        step, tx_geo, tx_mat = make_fit_step(fitter, pass_cfg, renderer,
                                              mat_module, pass_idx,
                                              init_v_pos, mesh_edges)
         geo_leaves = {'sdf': state.sdf, 'deform': state.deform}
         opt_geo = tx_geo.init(geo_leaves)
         opt_mat = tx_mat.init(mat_params) if mat_params is not None else None
         nonlocal key
-        for it in range(cfg.iter):
+        it = 0
+        while it < cfg.iter:
             key, k_t, k_s = jax.random.split(key, 3)
             target = renderer.random_target(cfg.batch, np_rng, k_t)
-            state, mat_params, opt_geo, opt_mat, metrics = step(
-                state, mat_params, opt_geo, opt_mat, target,
-                jnp.asarray(it, jnp.float32), k_s)
+            new = step(state, mat_params, opt_geo, opt_mat, target,
+                       jnp.asarray(it, jnp.float32), k_s)
+            metrics = new[4]
+            overflow = int(metrics['raster_overflow'])
+            if overflow > 0 and pass_cfg.raster_K < 4096:
+                # tile capacity exceeded: triangles were dropped this step.
+                # Grow K past the observed need and re-jit; redo the step so
+                # no iteration trains on a clipped rasterization.
+                need = pass_cfg.raster_K + overflow
+                newK = pass_cfg.raster_K
+                while newK < need:
+                    newK *= 2
+                logger.warning('raster bin overflow %d at pass%d iter=%d: '
+                               'raster_K %d -> %d (re-jit)', overflow,
+                               pass_idx, it, pass_cfg.raster_K, newK)
+                pass_cfg = dataclasses.replace(pass_cfg, raster_K=newK)
+                step, _, _ = make_fit_step(fitter, pass_cfg, renderer,
+                                           mat_module, pass_idx,
+                                           init_v_pos, mesh_edges)
+                continue
+            state, mat_params, opt_geo, opt_mat, metrics = new
             if it % cfg.log_interval == 0:
                 logger.info('pass%d iter=%5d img=%.6f reg=%.6f', pass_idx, it,
                             float(metrics['img_loss']),
                             float(metrics['reg_loss']))
+            it += 1
         return state, mat_params
 
     # ---- pass 1
@@ -328,7 +353,26 @@ def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
                      os.path.join(out_dir,
                                   f'val_viz/dmtet_validate_{global_index}'),
                      num_views=cfg.validate_views, raster_K=cfg.raster_K)
-    return {'tets_pre': pre_path, 'tets': out_path}
+
+    paths = {'tets_pre': pre_path, 'tets': out_path}
+    if cfg.save_baked and mat_module is not None:
+        # UV-unwrap + bake the learned MLP material to a textured OBJ
+        # (reference eval.py:96-128 xatlas_uvmap + obj export)
+        from .export import export_baked
+        # host-compact the padded fit mesh (masked faces out, verts renumbered)
+        fv = np.asarray(m2.v_pos)
+        ff = np.asarray(m2.t_pos_idx)[np.asarray(m2.face_mask)]
+        used = np.zeros(len(fv), bool)
+        used[ff.reshape(-1)] = True
+        remap = np.cumsum(used) - 1
+        m_host = mesh_mod.Mesh(
+            v_pos=jnp.asarray(fv[used]),
+            t_pos_idx=jnp.asarray(remap[ff].astype(np.int32)))
+        m_host = mesh_mod.auto_normals(m_host)
+        baked_dir = os.path.join(out_dir, f'baked/{global_index:05d}')
+        paths['baked'] = export_baked(
+            m_host, BoundTexture3D(mat_module, mat_params), baked_dir)
+    return paths
 
 
 def _mt_vertex_edges(grid: TetGrid) -> jnp.ndarray:

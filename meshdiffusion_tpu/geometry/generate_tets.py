@@ -58,6 +58,23 @@ def generate_tet_grid(resolution: int):
     return verts, tets.astype(np.int32)
 
 
+def crop_tets(vertices: np.ndarray, indices: np.ndarray):
+    """Drop the outermost vertex layer and every tet touching it
+    (vectorized counterpart of reference crop_tets.py:16-63; the quartet
+    output has an irregular boundary layer that breaks translational
+    symmetry)."""
+    assert indices.shape[1] == 4
+    mask = np.ones(len(vertices), bool)
+    for k in range(3):
+        mask &= ((vertices[:, k] != vertices[:, k].min())
+                 & (vertices[:, k] != vertices[:, k].max()))
+    remap = -np.ones(len(vertices), np.int64)
+    remap[mask] = np.arange(int(mask.sum()))
+    keep = mask[indices].all(axis=1)
+    return (vertices[mask],
+            remap[indices[keep]].astype(np.int32))
+
+
 def save_tet_grid(resolution: int, out_path: str = None) -> str:
     verts, tets = generate_tet_grid(resolution)
     out_path = out_path or f'{resolution}_tets_cropped.npz'
@@ -69,7 +86,18 @@ def main(argv=None):
     p = argparse.ArgumentParser('generate_tets')
     p.add_argument('--resolution', type=int, required=True)
     p.add_argument('--out', default=None)
+    p.add_argument('--crop', default=None,
+                   help='crop an existing {R}_tets.npz (reference '
+                   'crop_tets.py CLI) instead of generating')
     args = p.parse_args(argv)
+    if args.crop:
+        data = np.load(args.crop)
+        v, t = crop_tets(np.asarray(data['vertices']),
+                         np.asarray(data['indices']))
+        out = args.out or args.crop.replace('.npz', '_cropped.npz')
+        np.savez_compressed(out, vertices=v, indices=t)
+        print(f'{out}: {len(v)} verts, {len(t)} tets (cropped)')
+        return
     path = save_tet_grid(args.resolution, args.out)
     v, t = generate_tet_grid(args.resolution)
     print(f'{path}: {len(v)} verts, {len(t)} tets')

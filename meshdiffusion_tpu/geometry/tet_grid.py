@@ -88,6 +88,21 @@ class TetGrid:
     @staticmethod
     def from_arrays(resolution: int, verts: np.ndarray, indices: np.ndarray
                     ) -> "TetGrid":
+        # Normalize tet parity: the marching-tets TRIANGLE_TABLE winding
+        # assumes positively-oriented tets (the reference's quartet-built
+        # asset is uniformly positive; Kuhn-lattice cubes are half/half).
+        # A mixed-parity grid emits half its surface triangles with flipped
+        # winding. Swapping any two vertices flips parity; the occupancy
+        # case index permutes consistently, so geometry is unchanged.
+        d = np.einsum('ij,ij->i',
+                      np.cross(verts[indices[:, 1]] - verts[indices[:, 0]],
+                               verts[indices[:, 2]] - verts[indices[:, 0]]),
+                      verts[indices[:, 3]] - verts[indices[:, 0]])
+        neg = d < 0
+        if neg.any():
+            indices = indices.copy()
+            indices[neg, 2], indices[neg, 3] = (indices[neg, 3],
+                                                indices[neg, 2].copy())
         edges = indices[:, BASE_TET_EDGES].reshape(-1, 2)          # (6T, 2)
         edges_sorted = np.sort(edges, axis=1)
         unique_edges, inverse = np.unique(edges_sorted, axis=0,

@@ -80,6 +80,9 @@ def main(argv=None):
     parser.add_argument('--mesh_scale', type=float, default=2.1)
     parser.add_argument('--deform_scale', type=float, default=1.0)
     parser.add_argument('--num_smooth_steps', type=int, default=3)
+    parser.add_argument('--no_remesh', action='store_true',
+                        help='extract: skip the isotropic remeshing '
+                        'post-process (reference eval.py:449-456)')
     parser.add_argument('--unnormalized_sdf', action='store_true')
     parser.add_argument('--save_viz', action='store_true',
                         help='extract: also render a sanity PNG per mesh')
@@ -123,7 +126,8 @@ def main(argv=None):
                       deform_scale=args.deform_scale,
                       num_smooth_steps=args.num_smooth_steps,
                       unnormalized_sdf=args.unnormalized_sdf,
-                      save_viz=args.save_viz, angle_ind=args.angle_ind)
+                      save_viz=args.save_viz, angle_ind=args.angle_ind,
+                      remesh=not args.no_remesh)
         return
 
     if args.mode in ('fit_dmtets', 'fit_singleview'):

@@ -54,7 +54,7 @@ class UNet3D(nn.Module):
     num_scales: int = 1000
     dtype: Dtype = jnp.float32
     fused_gn: bool = False
-    fused_gn_conv: bool = True
+    fused_gn_conv: bool = False
 
     @classmethod
     def from_config(cls, config, **overrides):
@@ -80,7 +80,7 @@ class UNet3D(nn.Module):
             num_scales=m.num_scales,
             dtype=jnp.dtype(config.tpu.compute_dtype) if 'tpu' in config else jnp.float32,
             fused_gn=bool(config.tpu.get('fused_groupnorm', False)) if 'tpu' in config else False,
-            fused_gn_conv=bool(config.tpu.get('fused_gn_silu_conv', True)) if 'tpu' in config else True,
+            fused_gn_conv=bool(config.tpu.get('fused_gn_silu_conv', False)) if 'tpu' in config else False,
         )
         kw.update(overrides)
         return cls(**kw)

@@ -5,12 +5,13 @@ Replaces nvdiffrast's CUDA/OpenGL rasterizer (used by the reference at
 ``dr.DepthPeeler`` and ``dr.interpolate``) with an XLA-friendly design:
 
 * **Tile binning via sort, not scatter.** Each triangle's screen bbox is
-  mapped to the <=2x2 coarse tiles it can touch (TILE px tiles; DMTet
-  triangles are a few pixels wide, so a bbox never exceeds one tile size —
-  larger triangles are still rasterized in the tiles their bbox corners hit).
-  The (tile_id, tri_id) pairs are sorted once; per-tile segments are located
+  mapped to the <= SPAN x SPAN coarse tiles it can touch (TILE px tiles;
+  DMTet triangles are a few pixels wide). Triangles spanning more tiles go
+  into a global list every tile tests — exact for any triangle size. The
+  (tile_id, tri_id) pairs are sorted once; per-tile segments are located
   with searchsorted. Fixed shapes everywhere: per-tile capacity K, overflow
-  dropped (counted, queryable).
+  dropped (counted in ``bin_overflow``, queryable; the fit driver auto-grows
+  K on overflow).
 * **Dense per-tile shading decision.** Each tile tests its K candidate
   triangles against all TILE^2 pixels with vectorized edge functions and
   takes a z-argmin — pure VPU math, no atomics, no z-buffer scatter.
@@ -18,8 +19,8 @@ Replaces nvdiffrast's CUDA/OpenGL rasterizer (used by the reference at
   non-differentiable (wrapped in stop_gradient), while barycentric weights
   are recomputed analytically from the winning triangle's vertices, so
   gradients flow to vertex positions and attributes exactly like
-  ``dr.interpolate``'s backward. (nvdiffrast's ``antialias`` silhouette
-  gradients are approximated separately; see ``antialias_weight``.)
+  ``dr.interpolate``'s backward. Silhouette/coverage gradients come from
+  the analytic edge-AA pass (``antialias``, the dr.antialias equivalent).
 
 Conventions: clip-space input (V, 4) after an OpenGL-style projection
 (render.utils.perspective), y-down pixel grid, depth = screen-linear z/w as
@@ -75,16 +76,23 @@ def _edge(ax, ay, bx, by, px, py):
     return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
 
 
-def bin_triangles(xs, ys, face_mask, res: Tuple[int, int], K: int):
-    """Sort-based triangle binning.
+def bin_triangles(xs, ys, face_mask, res: Tuple[int, int], K: int,
+                  Kg: int = 64):
+    """Sort-based triangle binning with a global big-triangle list.
 
-    Returns (tile_tris (T, K) int32 with -1 padding, tile_counts (T,)).
+    Triangles whose bbox fits in a SPAN x SPAN tile window are binned into
+    per-tile fixed-capacity lists via one sort; the rare triangles that span
+    more tiles (close-ups, low resolutions) go into a global list of
+    capacity ``Kg`` that every tile tests — exact for any triangle size, no
+    silent mis-binning.
+
+    Returns (tile_tris (T, K) int32 with -1 padding, tile_counts (T,),
+    global_tris (Kg,) int32 with -1 padding, global_count ()).
     """
     H, W = res
     ntx = -(-W // TILE)
     nty = -(-H // TILE)
     T = ntx * nty
-    F = xs.shape[1 - 1] if xs.ndim == 1 else xs.shape[0]
 
     xmin = jnp.min(xs, axis=1)
     xmax = jnp.max(xs, axis=1)
@@ -98,8 +106,9 @@ def bin_triangles(xs, ys, face_mask, res: Tuple[int, int], K: int):
 
     offscreen = (xmax < 0) | (xmin >= W) | (ymax < 0) | (ymin >= H)
     dead = offscreen | ~face_mask
+    big = ((tx1 - tx0 >= SPAN) | (ty1 - ty0 >= SPAN)) & ~dead
 
-    # the <= SPAN x SPAN tiles this bbox touches
+    # the <= SPAN x SPAN tiles this bbox touches (small triangles only)
     entries_tile = []
     entries_tri = []
     tri_ids = jnp.arange(xs.shape[0], dtype=jnp.int32)
@@ -108,9 +117,9 @@ def bin_triangles(xs, ys, face_mask, res: Tuple[int, int], K: int):
             tx = jnp.minimum(tx0 + dx, tx1)
             ty = jnp.minimum(ty0 + dy, ty1)
             tile = ty * ntx + tx
-            # duplicate (same tile hit twice) or dead -> sentinel T
+            # duplicate (same tile hit twice) or dead/big -> sentinel T
             dup = ((dx > 0) & (tx0 + dx > tx1)) | ((dy > 0) & (ty0 + dy > ty1))
-            tile = jnp.where(dead | dup, T, tile)
+            tile = jnp.where(dead | big | dup, T, tile)
             entries_tile.append(tile)
             entries_tri.append(tri_ids)
     tiles = jnp.concatenate(entries_tile)
@@ -128,9 +137,15 @@ def bin_triangles(xs, ys, face_mask, res: Tuple[int, int], K: int):
     in_seg = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
     idx = jnp.clip(idx, 0, tris_sorted.shape[0] - 1)
     tile_tris = jnp.where(in_seg, tris_sorted[idx], -1)
-    # NOTE: counts may exceed K (overflowing triangles are dropped from that
-    # tile); callers can monitor max(counts) and raise K / shrink TILE.
-    return tile_tris, counts
+
+    # global list: stable-sort big flags descending, take the first Kg ids
+    gorder = jnp.argsort(~big, stable=True)[:Kg]
+    gvalid = big[gorder]
+    global_tris = jnp.where(gvalid, gorder.astype(jnp.int32), -1)
+    global_count = jnp.sum(big.astype(jnp.int32))
+    # NOTE: counts may exceed K and global_count may exceed Kg (overflow is
+    # dropped); callers monitor the overflow diagnostic and raise K/Kg.
+    return tile_tris, counts, global_tris, global_count
 
 
 def _rasterize_tiles(xs, ys, zs, tile_tris, res, z_floor: Optional[jnp.ndarray]):
@@ -258,7 +273,15 @@ def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
     xs_ = jax.lax.stop_gradient(xs)
     ys_ = jax.lax.stop_gradient(ys)
     zs_ = jax.lax.stop_gradient(zs)
-    tile_tris, tile_counts = bin_triangles(xs_, ys_, face_ok, res, K)
+    tile_tris, tile_counts, global_tris, global_count = bin_triangles(
+        xs_, ys_, face_ok, res, K)
+    # every tile also tests the (rare) triangles too big for SPAN binning
+    T = tile_tris.shape[0]
+    Kg = global_tris.shape[0]
+    tile_tris = jnp.concatenate(
+        [tile_tris, jnp.broadcast_to(global_tris[None], (T, Kg))], axis=1)
+    overflow = jnp.maximum(jnp.max(tile_counts) - K, 0) \
+        + jnp.maximum(global_count - Kg, 0)
 
     layers = []
     z_floor = None
@@ -272,8 +295,7 @@ def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
         layers.append(RasterOut(tri_id=tri_img, bary=bary,
                                 zbuf=jnp.where(valid, zpix, BIG),
                                 valid=valid,
-                                bin_overflow=jnp.maximum(
-                                    jnp.max(tile_counts) - K, 0)))
+                                bin_overflow=overflow))
         z_floor = jax.lax.stop_gradient(jnp.where(valid, z_img, BIG))
     return layers
 
@@ -300,12 +322,113 @@ def uv_derivatives(texc: jnp.ndarray) -> jnp.ndarray:
                             du_dx[..., 1:2], du_dy[..., 1:2]], axis=-1)
 
 
-def antialias_weight(rast: RasterOut) -> jnp.ndarray:
-    """Soft coverage in [0, 1]: box-filtered hard mask (3x3), a cheap
-    stand-in for nvdiffrast's analytic edge antialiasing (dr.antialias).
-    Constant w.r.t. geometry (stop-gradient); silhouette gradients come from
-    the depth/chamfer losses in the fitting objective instead."""
-    m = rast.valid.astype(jnp.float32)
-    k = jnp.ones((3, 3), jnp.float32) / 9.0
-    sm = jax.scipy.signal.convolve2d(m, k, mode='same')
-    return jax.lax.stop_gradient(sm)
+def _aa_dir(color, tri, valid, z, x, y, faces, horizontal: bool):
+    """Edge-AA deltas for one neighbor direction (right or down pairs).
+
+    For every adjacent pixel pair whose triangle ids differ, find where the
+    covering (nearer / only-valid) triangle's exit edge crosses the segment
+    between the two pixel centers, and blend sub-pixel coverage across the
+    pair. The crossing parameter t is differentiable w.r.t. the projected
+    vertex positions — this is the geometry-gradient path through pixel
+    coverage (nvdiffrast ``dr.antialias``; reference render.py:262).
+    Discrete selections (which triangle, which edge, which side) are
+    boolean/int and carry no gradient, exactly like nvdiffrast's backward.
+    """
+    H, W, C = color.shape
+    if horizontal:
+        sl_u = (slice(None), slice(None, -1))
+        sl_v = (slice(None), slice(1, None))
+        py_, px_ = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32) + 0.5,
+                                jnp.arange(W - 1, dtype=jnp.float32) + 0.5,
+                                indexing='ij')
+        pvx, pvy = px_ + 1.0, py_
+    else:
+        sl_u = (slice(None, -1), slice(None))
+        sl_v = (slice(1, None), slice(None))
+        py_, px_ = jnp.meshgrid(jnp.arange(H - 1, dtype=jnp.float32) + 0.5,
+                                jnp.arange(W, dtype=jnp.float32) + 0.5,
+                                indexing='ij')
+        pvx, pvy = px_, py_ + 1.0
+    pux, puy = px_, py_
+
+    tu, tv = tri[sl_u], tri[sl_v]
+    vu, vv = valid[sl_u], valid[sl_v]
+    zu, zv = z[sl_u], z[sl_v]
+    cu_, cv_ = color[sl_u], color[sl_v]
+
+    # Which side of the pair covers: the only valid one, or the nearer one.
+    cov_is_u = jnp.where(vu & vv, zu <= zv, vu)
+    active = (tu != tv) & (vu | vv)
+
+    tcov = jnp.where(cov_is_u, tu, tv)
+    f = faces[jnp.maximum(tcov, 0)]                    # (..., 3)
+    ax, ay = x[f[..., 0]], y[f[..., 0]]
+    bx, by = x[f[..., 1]], y[f[..., 1]]
+    cx, cy = x[f[..., 2]], y[f[..., 2]]
+    # orient edge functions so the triangle interior is positive
+    area = _edge(ax, ay, bx, by, cx, cy)
+    s = jnp.where(area >= 0, 1.0, -1.0)
+
+    pcx = jnp.where(cov_is_u, pux, pvx)
+    pcy = jnp.where(cov_is_u, puy, pvy)
+    pox = jnp.where(cov_is_u, pvx, pux)
+    poy = jnp.where(cov_is_u, pvy, puy)
+
+    def edges_at(qx, qy):
+        return (_edge(bx, by, cx, cy, qx, qy) * s,
+                _edge(cx, cy, ax, ay, qx, qy) * s,
+                _edge(ax, ay, bx, by, qx, qy) * s)
+
+    Ec = edges_at(pcx, pcy)
+    Eo = edges_at(pox, poy)
+    # Each edge is owned by ONE pair direction by its slope (nvdiffrast's
+    # dy>dx rule): horizontal pairs resolve y-major edges, vertical pairs
+    # x-major. Without this, a near-axis-parallel edge also crosses the
+    # pairs PARALLEL to it with dt/dvertex ~ 1/slope — huge bogus grads.
+    exs = ((cx - bx), (ax - cx), (bx - ax))
+    eys = ((cy - by), (ay - cy), (by - ay))
+    # exit crossing: first edge that flips inside -> outside along cov -> oth
+    t = jnp.full(tu.shape, 2.0)
+    for ec, eo, ex, ey in zip(Ec, Eo, exs, eys):
+        if horizontal:
+            owned = jnp.abs(ey) >= jnp.abs(ex)
+        else:
+            owned = jnp.abs(ex) > jnp.abs(ey)
+        crossing = (eo < 0) & (ec >= 0) & owned
+        denom = ec - eo
+        tk = ec / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+        t = jnp.minimum(t, jnp.where(crossing, tk, 2.0))
+    act = (active & (t <= 1.0)).astype(color.dtype)[..., None]
+    t = jnp.clip(t, 0.0, 1.0)[..., None]
+
+    ccov = jnp.where(cov_is_u[..., None], cu_, cv_)
+    coth = jnp.where(cov_is_u[..., None], cv_, cu_)
+    # boundary at t in [0,1] from the covering center; centers are 1 px
+    # apart, so t>1/2 covers (t-1/2) of the other pixel's cell, t<1/2
+    # uncovers (1/2-t) of the covering pixel's cell
+    d_oth = jax.nn.relu(t - 0.5) * (ccov - coth) * act
+    d_cov = jax.nn.relu(0.5 - t) * (coth - ccov) * act
+    du = jnp.where(cov_is_u[..., None], d_cov, d_oth)
+    dv = jnp.where(cov_is_u[..., None], d_oth, d_cov)
+    delta = jnp.zeros_like(color)
+    return delta.at[sl_u].add(du).at[sl_v].add(dv)
+
+
+def antialias(color: jnp.ndarray, rast: RasterOut, v_clip: jnp.ndarray,
+              faces: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable edge antialiasing (``dr.antialias`` equivalent,
+    reference nvdiffrec/lib/render/render.py:262).
+
+    color: (H, W, C) composited image for ONE view; returns the same shape.
+    Adjacent pixel pairs (right and down) with differing triangle ids are
+    blended by the analytic sub-pixel coverage of the covering triangle's
+    silhouette edge, giving gradients w.r.t. vertex positions through pixel
+    coverage. Interior shared edges produce near-zero deltas (both sides
+    shade alike), so no topology-based silhouette test is needed — the
+    whole pass is dense VPU math, no gather/scatter beyond two slice-adds.
+    """
+    H, W = rast.tri_id.shape
+    x, y, _, _ = _screen_coords(v_clip, (H, W))
+    faces = faces.astype(jnp.int32)
+    args = (rast.tri_id, rast.valid, rast.zbuf, x, y, faces)
+    return color + _aa_dir(color, *args, True) + _aa_dir(color, *args, False)

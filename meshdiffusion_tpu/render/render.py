@@ -7,8 +7,9 @@ TPU-native rasterizer. Differences by design:
 * fixed shapes end-to-end (vmappable over the camera batch, jit-able);
 * ``visible_tet_id`` is returned as a fixed-size boolean mask over tets
   instead of a dynamic index list (reference render.py:346-407);
-* antialiasing of composites (dr.antialias) is approximated by a box-filter
-  soft coverage — silhouette gradients flow through depth/chamfer losses.
+* composite antialiasing (dr.antialias, reference render.py:262) is the
+  analytic edge-AA pass in rasterize.antialias — coverage gradients flow
+  to vertex positions for 'shaded' and normal buffers, as in the reference.
 
 The live MeshDiffusion shading path is bsdf='diffuse' with a constant kd and
 an environment light (reference render.py:100-104, eval.py:422-428).
@@ -26,7 +27,7 @@ from . import ops
 from . import utils
 from .light import EnvironmentLight
 from .mesh import Mesh
-from .rasterize import RasterOut, interpolate, rasterize
+from .rasterize import RasterOut, antialias, interpolate, rasterize
 from .texture import Texture2D
 
 
@@ -164,7 +165,8 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
                 background: Optional[jnp.ndarray] = None, bsdf=None,
                 xfm_lgt=None, tet_centers: Optional[jnp.ndarray] = None,
                 rng: Optional[jax.Array] = None, flat_shading: bool = False,
-                raster_K: int = 256) -> Dict[str, jnp.ndarray]:
+                raster_K: int = 256, aa: bool = True
+                ) -> Dict[str, jnp.ndarray]:
     """Two-layer depth-peeled render of a camera batch
     (reference render.py:235-409).
 
@@ -210,27 +212,38 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
             background = jnp.concatenate(
                 [background, jnp.zeros_like(background[..., :1])], axis=-1)
 
-    def composite(key, li, bg):
+    def composite(key, li, bg, want_aa=False):
         buf = stack_layer(li, key)
         valid = stack_rast_valid(li)[..., None].astype(jnp.float32)
         alpha = valid * buf[..., -1:]
         fg = jnp.concatenate([buf[..., :-1], jnp.ones_like(buf[..., -1:])],
                              axis=-1)
-        return bg + alpha * (fg - bg)
+        img = bg + alpha * (fg - bg)
+        if want_aa and aa:
+            # analytic edge AA per view (reference render.py:262 applies
+            # dr.antialias to 'shaded' and normal composites) — the
+            # coverage-gradient path to vertex positions
+            img = jnp.broadcast_to(img, (B,) + img.shape[1:])
+            img = jnp.stack([
+                antialias(img[b], per_view[b][li][1], v_clip[b],
+                          mesh.t_pos_idx) for b in range(B)])
+        return img
 
     out: Dict[str, jnp.ndarray] = {}
     keys = per_view[0][0][0].keys()
     for key in keys:
         if key == 'shaded':
-            out[key] = composite(key, 0, background)
+            out[key] = composite(key, 0, background, want_aa=True)
         elif key in ('depth', 'pos'):
             base = jnp.ones_like(stack_layer(0, key)) * 20.0
             out[key] = composite(key, 0, base)
         else:
-            out[key] = composite(key, 0, jnp.zeros_like(stack_layer(0, key)))
+            out[key] = composite(key, 0, jnp.zeros_like(stack_layer(0, key)),
+                                 want_aa='normal' in key)
 
     if num_layers > 1:
-        out['shaded_second'] = composite('shaded', 1, background)
+        out['shaded_second'] = composite('shaded', 1, background,
+                                         want_aa=True)
         out['depth_second'] = composite(
             'depth', 1, -jnp.ones_like(stack_layer(1, 'depth')))
         out['normal_second'] = composite(
@@ -239,6 +252,11 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
     rast0_valid = stack_rast_valid(0)
     rast0_z = jnp.stack([per_view[b][0][1].zbuf for b in range(B)])
     out['rast_depth'] = rast0_z
+    # binning-overflow diagnostic (scalar): triangles dropped from the
+    # fullest tile / global big-list across views; the fit driver watches
+    # this and re-jits with a larger K when nonzero
+    out['raster_overflow'] = jnp.max(jnp.stack(
+        [per_view[b][0][1].bin_overflow for b in range(B)]))
     # fixed-size replacement for the reference's dynamic triangle-id list:
     F = mesh.t_pos_idx.shape[0]
     tri0 = jnp.stack([per_view[b][0][1].tri_id for b in range(B)])

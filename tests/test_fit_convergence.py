@@ -1,0 +1,103 @@
+"""Fitting quality gate: a short pass-1 fit of a tiny GT sphere must
+actually converge — chamfer distance falls by an order of magnitude and
+image PSNR rises (VERDICT round-1: smoke tests checked shapes only).
+
+CPU-sized: 16^3-ish tet grid, 64x64 renders, 200 iterations (~1 min)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_pass1_fit_converges(tiny_tet_grid, tmp_path):
+    from meshdiffusion_tpu.fitting import fit as F
+    from meshdiffusion_tpu.fitting.dataset import TargetRenderer
+    from meshdiffusion_tpu.fitting.geometry import DMTetFitter
+    from meshdiffusion_tpu.geometry.fit_losses import (chamfer_distance,
+                                                       sample_points)
+    from meshdiffusion_tpu.geometry.marching_tets import (marching_tets,
+                                                          compact_mesh)
+    from meshdiffusion_tpu.geometry.obj_io import write_obj
+    from meshdiffusion_tpu.render import light as light_mod
+    from meshdiffusion_tpu.render import mesh as mesh_mod
+
+    tg = tiny_tet_grid
+    # GT: a sphere surface from the same grid (reference sign convention)
+    sdf_gt = np.linalg.norm(tg.verts, axis=1).astype(np.float32) - 0.3
+    out = marching_tets(tg, jnp.asarray(tg.verts), jnp.asarray(sdf_gt))
+    v, f = compact_mesh(out)
+    obj_path = str(tmp_path / 'gt.obj')
+    write_obj(obj_path, np.asarray(v), np.asarray(f))
+
+    ref = F.obj_mod.load_mesh(obj_path)
+    lo, hi = mesh_mod.aabb(ref.v_pos)
+    ref = mesh_mod.center_by_reference(ref, (np.asarray(lo), np.asarray(hi)),
+                                       1.0)
+    ref = mesh_mod.auto_normals(ref)
+    ref.material = F.default_material()
+    env = light_mod.create_trainable_env_rnd(64, scale=0.0, bias=0.5)
+    env.build_mips()
+
+    cfg = F.FitConfig(iter=200, batch=1, train_res=(64, 64),
+                      dmtet_grid=tg.resolution, mesh_scale=1.0,
+                      surface_samples=2000, raster_K=256,
+                      normal_only=True, learn_light=True, cam_radius=2.0)
+    renderer = TargetRenderer(ref_mesh=ref, envlight=env, cam_radius=2.0,
+                              train_res=(64, 64), num_surface_samples=2000)
+    fitter = DMTetFitter(grid=tg, scale=cfg.mesh_scale, deform_scale=2.0,
+                         sdf_regularizer=0.2, total_iter=cfg.iter,
+                         buffer_capacity=50)
+    state = fitter.init_state(jax.random.key(1))
+    step, tx_geo, _ = F.make_fit_step(fitter, cfg, renderer, None, 0)
+    opt_geo = tx_geo.init({'sdf': state.sdf, 'deform': state.deform})
+
+    gt_pts = sample_points(ref.v_pos, ref.t_pos_idx, 2000, jax.random.key(2))
+
+    def chamfer_now(state):
+        m = fitter.get_mesh(state)
+        pts = sample_points(m.v_pos, m.t_pos_idx, 2000, jax.random.key(3),
+                            face_mask=m.face_mask)
+        return float(chamfer_distance(pts, gt_pts))
+
+    key = jax.random.key(0)
+    np_rng = np.random.default_rng(0)
+    cd0 = chamfer_now(state)
+    img_hist = []
+    regrows = 0
+    it = 0
+    while it < cfg.iter:
+        key, k_t, k_s = jax.random.split(key, 3)
+        target = renderer.random_target(1, np_rng, k_t)
+        new = step(state, None, opt_geo, None, target,
+                   jnp.asarray(it, jnp.float32), k_s)
+        overflow = int(new[4]['raster_overflow'])
+        if overflow > 0:
+            # the driver's auto-grow contract: re-jit with a bigger K and
+            # redo the step (tiny grid at 64^2 concentrates all faces into
+            # 4 tiles, so this path MUST trigger and then clear)
+            need = cfg.raster_K + overflow
+            newK = cfg.raster_K
+            while newK < need:
+                newK *= 2
+            cfg = dataclasses.replace(cfg, raster_K=newK)
+            step, _, _ = F.make_fit_step(fitter, cfg, renderer, None, 0)
+            regrows += 1
+            assert regrows < 8
+            continue
+        state, _, opt_geo, _, metrics = new
+        img_hist.append(float(metrics['img_loss']))
+        it += 1
+
+    cd1 = chamfer_now(state)
+    assert np.isfinite(cd1)
+    # chamfer falls hard: the random-init soup collapses onto the sphere
+    assert cd1 < 0.3 * cd0, (cd0, cd1)
+    assert cd1 < 0.01, cd1
+    # image loss trend: mean of the last 25% well under the first 25%
+    q = len(img_hist) // 4
+    assert np.mean(img_hist[-q:]) < 0.5 * np.mean(img_hist[:q]), \
+        (np.mean(img_hist[:q]), np.mean(img_hist[-q:]))

@@ -143,3 +143,39 @@ def test_map_uv_static_chart(tiny_tet_grid):
     t0 = uv_idx[0::2]
     t1 = uv_idx[1::2]
     assert (t0[:, 0] == t1[:, 0]).all()
+
+
+def test_winding_consistent_and_outward(tiny_tet_grid):
+    """All surface triangles wind consistently (outward for sdf>0 =
+    outside, the reference carving convention, dmtet.py:377) — requires
+    the tet-parity normalization in TetGrid.from_arrays for Kuhn grids."""
+    import numpy as np
+    import jax.numpy as jnp
+    from meshdiffusion_tpu.geometry.marching_tets import (marching_tets,
+                                                          compact_mesh)
+    tg = tiny_tet_grid
+    sdf = np.linalg.norm(tg.verts, axis=1).astype(np.float32) - 0.3
+    out = marching_tets(tg, jnp.asarray(tg.verts), jnp.asarray(sdf))
+    v, f = compact_mesh(out)
+    v, f = np.asarray(v), np.asarray(f)
+    a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    d = np.einsum('ij,ij->i', np.cross(b - a, c - a), (a + b + c) / 3)
+    assert (d > 0).all()
+
+
+def test_crop_tets_drops_boundary_layer():
+    """crop_tets removes the outermost lattice layer and reindexes
+    (reference crop_tets.py:16-63)."""
+    import numpy as np
+    from meshdiffusion_tpu.geometry.generate_tets import (generate_tet_grid,
+                                                          crop_tets)
+    v, t = generate_tet_grid(10)          # 9^3 verts
+    v2, t2 = crop_tets(v, t)
+    assert len(v2) == 7 ** 3
+    assert t2.min() >= 0 and t2.max() < len(v2)
+    # all interior coordinates survive untouched
+    for k in range(3):
+        assert v2[:, k].min() > v[:, k].min()
+        assert v2[:, k].max() < v[:, k].max()
+    # cropped tets span only interior cells: 6 per cell, (7-1)^3 cells
+    assert len(t2) == 6 * 6 ** 3

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from meshdiffusion_tpu.render.rasterize import (rasterize, interpolate,
-                                                bin_triangles)
+                                                bin_triangles, antialias)
 from meshdiffusion_tpu.render import utils as rutils
 
 
@@ -153,9 +153,10 @@ def test_binning_counts():
     y = (v[:, 1] / w * 0.5 + 0.5) * res[0]
     xs = jnp.asarray(np.stack([x[f[:, k]] for k in range(3)], 1))
     ys = jnp.asarray(np.stack([y[f[:, k]] for k in range(3)], 1))
-    tile_tris, counts = bin_triangles(xs, ys, jnp.asarray([True, True]),
-                                      res, K=8)
-    assert int(counts.sum()) >= 2  # both triangles land somewhere
+    tile_tris, counts, gtris, gcount = bin_triangles(
+        xs, ys, jnp.asarray([True, True]), res, K=8)
+    # both triangles land somewhere (tile lists or the global big list)
+    assert int(counts.sum()) + int(gcount) >= 2
     assert (np.asarray(tile_tris) < 2).all()
 
 
@@ -183,3 +184,113 @@ def test_bin_overflow_reported():
     big = rasterize(v, f, (32, 32), K=64)[0]
     assert int(small.bin_overflow) > 0
     assert int(big.bin_overflow) == 0
+
+
+def test_screen_filling_triangle():
+    """A triangle spanning many tiles (> SPAN per axis) must rasterize
+    exactly via the global big-triangle list."""
+    v = np.array([[-3.0, -3.0, 0.0, 1.0],
+                  [3.0, -3.0, 0.0, 1.0],
+                  [0.0, 4.0, 0.0, 1.0]], np.float32)
+    f = np.array([[0, 1, 2]], np.int32)
+    res = (128, 128)  # 4x4 tiles at TILE=32
+    rast = rasterize(jnp.asarray(v), jnp.asarray(f), res)[0]
+    ref_tri, _ = oracle_raster(v, f, res)
+    np.testing.assert_array_equal(np.asarray(rast.tri_id), ref_tri)
+    assert np.asarray(rast.valid).all()  # fills the whole screen
+    assert int(rast.bin_overflow) == 0
+
+
+def test_mixed_big_and_small_triangles():
+    """Big (global-binned) and small (tile-binned) triangles z-resolve
+    together exactly."""
+    v = np.array([
+        # huge far triangle
+        [-3.0, -3.0, 0.8, 1.0], [3.0, -3.0, 0.8, 1.0], [0.0, 4.0, 0.8, 1.0],
+        # small near triangle
+        [-0.2, -0.2, -0.5, 1.0], [0.3, -0.2, -0.5, 1.0], [0.0, 0.3, -0.5, 1.0],
+    ], np.float32)
+    f = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    res = (96, 96)
+    rast = rasterize(jnp.asarray(v), jnp.asarray(f), res)[0]
+    ref_tri, _ = oracle_raster(v, f, res)
+    np.testing.assert_array_equal(np.asarray(rast.tri_id), ref_tri)
+    assert (ref_tri == 1).any() and (ref_tri == 0).any()
+
+
+def _aa_coverage(v, f, res):
+    """Hard coverage image passed through the analytic edge AA."""
+    rast = rasterize(v, f, res)[0]
+    img = rast.valid.astype(jnp.float32)[..., None]
+    return antialias(img, rast, v, f)
+
+
+def test_antialias_softens_edges_only():
+    v, f = two_triangles()
+    res = (32, 32)
+    rast = rasterize(jnp.asarray(v), jnp.asarray(f), res)[0]
+    hard = np.asarray(rast.valid, np.float32)[..., None]
+    soft = np.asarray(_aa_coverage(jnp.asarray(v), jnp.asarray(f), res))
+    diff = np.abs(soft - hard)[..., 0]
+    assert diff.max() > 0.05          # some edge pixels got blended
+    # each direction blends at most half the pair difference; a corner
+    # pixel can receive both directions
+    assert diff.max() <= 1.0 + 1e-5
+    # interior pixels (all 4-neighbors same tri) unchanged
+    tri = np.asarray(rast.tri_id)
+    interior = np.ones_like(tri, bool)
+    interior[1:] &= tri[1:] == tri[:-1]
+    interior[:-1] &= tri[:-1] == tri[1:]
+    interior[:, 1:] &= tri[:, 1:] == tri[:, :-1]
+    interior[:, :-1] &= tri[:, :-1] == tri[:, 1:]
+    np.testing.assert_array_equal(soft[interior], hard[interior])
+
+
+def test_antialias_gradient_matches_area_derivative():
+    """Coverage-sum gradients through the AA pass match the analytic
+    (shoelace) area derivative — the dr.antialias contract: geometry
+    gradients through pixel coverage."""
+    f = np.array([[0, 1, 2]], np.int32)
+    res = (64, 64)
+    H, W = res
+    px = W / 2.0   # pixels per NDC unit
+
+    # vertical silhouette edge between v0 and v1; apex at v2 (off
+    # half-pixel alignment so no crossing sits exactly on a relu kink)
+    v0 = np.array([[-0.513, -0.507, 0.0, 1.0],
+                   [-0.513, 0.493, 0.0, 1.0],
+                   [0.5, 0.013, 0.0, 1.0]], np.float32)
+    ypx = (v0[:, 1] * 0.5 + 0.5) * H
+
+    def L(shift):
+        verts = jnp.asarray(v0).at[0, 0].add(shift).at[1, 0].add(shift)
+        return jnp.sum(_aa_coverage(verts, jnp.asarray(f), res))
+
+    # shoelace: moving v0.x and v1.x together changes |A| by
+    # -(y1-y0)/2 px^2 per px (diagonals pivot at the apex)
+    g = float(jax.grad(L)(jnp.asarray(0.0)))
+    expected = -0.5 * (ypx[1] - ypx[0]) * px
+    assert abs(g - expected) / abs(expected) < 0.2, (g, expected)
+
+    def L2(dx):
+        verts = jnp.asarray(v0).at[2, 0].add(dx)
+        return jnp.sum(_aa_coverage(verts, jnp.asarray(f), res))
+
+    g2 = float(jax.grad(L2)(jnp.asarray(0.0)))
+    expected2 = 0.5 * (ypx[1] - ypx[0]) * px
+    assert abs(g2 - expected2) / abs(expected2) < 0.2, (g2, expected2)
+
+
+def test_antialias_gradient_zero_when_static():
+    """Interior color edits don't create spurious geometry gradients."""
+    v, f = two_triangles()
+    res = (24, 24)
+    rast = rasterize(jnp.asarray(v), jnp.asarray(f), res)[0]
+    img = jnp.ones((res[0], res[1], 3)) * 0.5  # constant image
+
+    def L(verts):
+        return jnp.sum(antialias(img, rast, verts, jnp.asarray(f)))
+
+    g = np.asarray(jax.grad(L)(jnp.asarray(v)))
+    # constant color on both sides of every edge -> zero coverage gradient
+    np.testing.assert_allclose(g, 0.0, atol=1e-5)

@@ -1,0 +1,122 @@
+"""A/B: fit quality with vs without analytic edge antialiasing.
+
+VERDICT round-1 item 6: show that coverage gradients (rasterize.antialias,
+the dr.antialias equivalent — reference render.py:262) improve fitting.
+Fits the same GT sphere twice with identical seeds/cameras, AA on vs off,
+and records final chamfer + validation PSNR into AA_ABLATION.md.
+
+Run: python tools/aa_ablation.py [iters]  (CPU, ~15 min)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tests'))
+
+
+def main(iters=300):
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    import jax.numpy as jnp
+    import numpy as np
+
+    import conftest
+    from meshdiffusion_tpu.fitting import fit as F
+    from meshdiffusion_tpu.fitting.dataset import TargetRenderer
+    from meshdiffusion_tpu.fitting.geometry import DMTetFitter
+    from meshdiffusion_tpu.geometry.fit_losses import (chamfer_distance,
+                                                       sample_points)
+    from meshdiffusion_tpu.geometry.marching_tets import (marching_tets,
+                                                          compact_mesh)
+    from meshdiffusion_tpu.geometry.obj_io import write_obj
+    from meshdiffusion_tpu.render import light as light_mod
+    from meshdiffusion_tpu.render import mesh as mesh_mod
+    from meshdiffusion_tpu.render.render import render_mesh
+
+    tg = conftest.tiny_tet_grid.__wrapped__()
+    sdf_gt = np.linalg.norm(tg.verts, axis=1).astype(np.float32) - 0.3
+    out = marching_tets(tg, jnp.asarray(tg.verts), jnp.asarray(sdf_gt))
+    v, f = compact_mesh(out)
+    write_obj('/tmp/aa_gt.obj', np.asarray(v), np.asarray(f))
+
+    def run(aa: bool):
+        ref = F.obj_mod.load_mesh('/tmp/aa_gt.obj')
+        lo, hi = mesh_mod.aabb(ref.v_pos)
+        ref = mesh_mod.center_by_reference(
+            ref, (np.asarray(lo), np.asarray(hi)), 1.0)
+        ref = mesh_mod.auto_normals(ref)
+        ref.material = F.default_material()
+        env = light_mod.create_trainable_env_rnd(64, scale=0.0, bias=0.5)
+        env.build_mips()
+        cfg = F.FitConfig(iter=iters, batch=1, train_res=(64, 64),
+                          dmtet_grid=tg.resolution, mesh_scale=1.0,
+                          surface_samples=2000, raster_K=2048,
+                          normal_only=True, learn_light=True,
+                          cam_radius=2.0, antialias=aa)
+        renderer = TargetRenderer(ref_mesh=ref, envlight=env, cam_radius=2.0,
+                                  train_res=(64, 64),
+                                  num_surface_samples=2000)
+        fitter = DMTetFitter(grid=tg, scale=1.0, deform_scale=2.0,
+                             sdf_regularizer=0.2, total_iter=cfg.iter,
+                             buffer_capacity=50)
+        state = fitter.init_state(jax.random.key(1))
+        step, tx_geo, _ = F.make_fit_step(fitter, cfg, renderer, None, 0)
+        opt_geo = tx_geo.init({'sdf': state.sdf, 'deform': state.deform})
+        key = jax.random.key(0)
+        np_rng = np.random.default_rng(0)
+        for it in range(cfg.iter):
+            key, k_t, k_s = jax.random.split(key, 3)
+            target = renderer.random_target(1, np_rng, k_t)
+            state, _, opt_geo, _, metrics = step(
+                state, None, opt_geo, None, target,
+                jnp.asarray(it, jnp.float32), k_s)
+            assert int(metrics['raster_overflow']) == 0
+
+        m = fitter.get_mesh(state)
+        pts = sample_points(m.v_pos, m.t_pos_idx, 2000, jax.random.key(3),
+                            face_mask=m.face_mask)
+        gt_pts = sample_points(ref.v_pos, ref.t_pos_idx, 2000,
+                               jax.random.key(2))
+        cd = float(chamfer_distance(pts, gt_pts))
+
+        # validation PSNR at 4 held-out circular poses (same for both arms)
+        mses = []
+        for k in range(4):
+            mv, mvp, campos = renderer.rotate_camera(k * 12)
+            tgt = renderer.render_target(mvp, campos, jax.random.key(50 + k))
+            m.material = F.default_material()
+            pred = render_mesh(m, tgt['mvp'], tgt['campos'], env, (64, 64),
+                               num_layers=1, rng=jax.random.key(60 + k),
+                               raster_K=2048)
+            mse = float(jnp.mean((pred['shaded'][..., :3]
+                                  - tgt['img'][..., :3]) ** 2))
+            mses.append(mse)
+        psnr = -10.0 * np.log10(np.maximum(np.mean(mses), 1e-10))
+        return cd, psnr
+
+    cd_on, psnr_on = run(True)
+    print(f'AA on : chamfer {cd_on:.5f}  val PSNR {psnr_on:.2f} dB',
+          flush=True)
+    cd_off, psnr_off = run(False)
+    print(f'AA off: chamfer {cd_off:.5f}  val PSNR {psnr_off:.2f} dB',
+          flush=True)
+
+    with open(os.path.join(os.path.dirname(__file__), '..',
+                           'AA_ABLATION.md'), 'w') as fh:
+        fh.write(
+            '# Edge-antialias fitting ablation\n\n'
+            'Same GT sphere, identical seeds/cameras, '
+            f'{iters} pass-1 iterations at 64x64 (tools/aa_ablation.py):\n\n'
+            '| arm | final chamfer | val PSNR (4 poses) |\n|---|---|---|\n'
+            f'| AA on (dr.antialias equivalent) | {cd_on:.5f} | '
+            f'{psnr_on:.2f} dB |\n'
+            f'| AA off (hard coverage) | {cd_off:.5f} | {psnr_off:.2f} dB |\n'
+            '\nCoverage gradients flow through `rasterize.antialias` '
+            '(verified against analytic area derivatives in '
+            'tests/test_rasterize.py).\n')
+    print('AA_ABLATION.md written', flush=True)
+
+
+if __name__ == '__main__':
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 300)
