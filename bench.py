@@ -49,6 +49,10 @@ def main():
     cfg = get_config('res64')
     cfg.model.num_scales = steps
     cfg.eval.batch_size = batch
+    if os.environ.get('BENCH_FUSED'):
+        cfg.tpu.fused_gn_silu_conv = bool(int(os.environ['BENCH_FUSED']))
+    if os.environ.get('BENCH_ATTN') == '0':      # ablation: no attention
+        cfg.model.attn_resolutions = ()
     R = 64
 
     tg = TetGrid.load(R)

@@ -66,29 +66,22 @@ class TargetRenderer:
         return (mv[None].astype(np.float32), mvp[None].astype(np.float32),
                 campos[None].astype(np.float32))
 
-    def render_target(self, mvp, campos, key: jax.Array,
-                      envlight_transform=None) -> Dict:
-        """Render the GT mesh into a target dict (reference
-        dataset_mesh.py:119-163)."""
+    def _render_target_arrays(self, mvp, campos, key, xfm) -> Dict:
+        """Jit body: GT render + surface samples (arrays only)."""
         out = render_mesh(self.ref_mesh, mvp, campos, self.envlight,
                           self.train_res, spp=self.spp,
                           num_layers=self.layers,
-                          xfm_lgt=envlight_transform,
+                          xfm_lgt=xfm,
                           flat_shading=self.flat_shading)
         spts = sample_points(self.ref_mesh.v_pos, self.ref_mesh.t_pos_idx,
                              self.num_surface_samples, key,
                              face_mask=self.ref_mesh.face_mask)
-        target = {
-            'mv': None,
+        return {
             'mvp': jnp.asarray(mvp),
             'campos': jnp.asarray(campos),
-            'resolution': self.train_res,
-            'spp': self.spp,
             'img': out['shaded'],
             'img_second': out['shaded_second'],
             'spts': spts,
-            'vpts': self.ref_mesh.v_pos,
-            'faces': self.ref_mesh.t_pos_idx,
             'depth': out['depth'],
             'depth_second': out['depth_second'],
             'normal': out['normal'],
@@ -98,8 +91,39 @@ class TargetRenderer:
             'pos': out['pos'],
             'mask': out['mask'],
             'mask_cont': out['mask_cont'],
-            'envlight_transform': envlight_transform,
         }
+
+    def render_target(self, mvp, campos, key: jax.Array,
+                      envlight_transform=None) -> Dict:
+        """Render the GT mesh into a target dict (reference
+        dataset_mesh.py:119-163).
+
+        The whole GT render is ONE jitted program cached on the renderer
+        (keyed by batch size and xfm presence): the per-iteration target
+        render otherwise runs op-by-op — hundreds of dispatches per fit
+        iteration, which dominates wall-clock through the TPU tunnel."""
+        B = np.asarray(mvp).shape[0] if np.asarray(mvp).ndim == 3 else 1
+        cache = getattr(self, '_jit_cache', None)
+        if cache is None:
+            cache = self._jit_cache = {}
+        k = (B, envlight_transform is not None)
+        if k not in cache:
+            cache[k] = jax.jit(self._render_target_arrays)
+        if envlight_transform is None:
+            fn = cache[k]
+            target = dict(fn(jnp.asarray(mvp), jnp.asarray(campos), key,
+                             None))
+        else:
+            target = dict(cache[k](jnp.asarray(mvp), jnp.asarray(campos),
+                                   key, jnp.asarray(envlight_transform)))
+        target.update({
+            'mv': None,
+            'resolution': self.train_res,
+            'spp': self.spp,
+            'vpts': self.ref_mesh.v_pos,
+            'faces': self.ref_mesh.t_pos_idx,
+            'envlight_transform': envlight_transform,
+        })
         return target
 
     def random_target(self, batch: int, np_rng: np.random.Generator,

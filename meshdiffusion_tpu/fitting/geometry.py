@@ -146,7 +146,8 @@ class DMTetFitter:
                               num_layers=2, bsdf=None,
                               background=target.get('background'),
                               xfm_lgt=target.get('envlight_transform'),
-                              rng=key_shade, raster_K=raster_K, aa=aa)
+                              rng=key_shade, raster_K=raster_K, aa=aa,
+                              remat=True)
 
         t_iter = iteration / self.total_iter
 
@@ -230,7 +231,8 @@ class FixedTopoFitter(DMTetFitter):
                               num_layers=2, bsdf=None,
                               background=target.get('background'),
                               xfm_lgt=target.get('envlight_transform'),
-                              rng=key_shade, raster_K=raster_K, aa=aa)
+                              rng=key_shade, raster_K=raster_K, aa=aa,
+                              remat=True)
 
         t_iter = iteration / self.total_iter
         color_ref = target['img']

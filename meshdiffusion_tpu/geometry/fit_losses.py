@@ -15,6 +15,8 @@ compose with marching-tets output under jit.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional
 
 import jax
@@ -48,33 +50,68 @@ def sample_points(verts: jnp.ndarray, faces: jnp.ndarray, num: int,
     return (verts[f[:, 0]] * b0 + verts[f[:, 1]] * b1 + verts[f[:, 2]] * b2)
 
 
+def _min_d2_idx(x, y, chunk):
+    """Per row of x: (min ||x-y||^2 over y, argmin index), scanning y in
+    chunks so the pairwise matrix never exceeds (N, chunk)."""
+    n = y.shape[0]
+    pad = (-n) % chunk
+    yp = jnp.pad(y, ((0, pad), (0, 0)), constant_values=1e9)
+    y2p = jnp.sum(yp * yp, axis=-1)
+    yc = yp.reshape(-1, chunk, 3)
+    yc2 = y2p.reshape(-1, chunk)
+    offs = jnp.arange(yc.shape[0], dtype=jnp.int32) * chunk
+    x2 = jnp.sum(x * x, -1)[:, None]
+
+    def body(carry, data):
+        best, bidx = carry
+        ycv, yc2v, off = data
+        d2 = jnp.maximum(x2 - 2 * x @ ycv.T + yc2v[None, :], 0.0)
+        cmin = d2.min(axis=1)
+        carg = d2.argmin(axis=1).astype(jnp.int32) + off
+        upd = cmin < best
+        return (jnp.where(upd, cmin, best), jnp.where(upd, carg, bidx)), None
+
+    init = (jnp.full((x.shape[0],), jnp.inf),
+            jnp.zeros((x.shape[0],), jnp.int32))
+    (d2min, idx), _ = jax.lax.scan(body, init, (yc, yc2, offs))
+    return d2min, jnp.minimum(idx, n - 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def chamfer_distance(a: jnp.ndarray, b: jnp.ndarray, chunk: int = 4096
                      ) -> jnp.ndarray:
     """Mean squared bidirectional nearest-neighbor distance (kaolin
-    convention: mean over a of min ||a-b||^2 + mean over b of min ||b-a||^2),
-    computed in chunks to bound the pairwise matrix."""
+    convention: mean over a of min ||a-b||^2 + mean over b of min ||b-a||^2).
 
-    def min_d2(x, y):
-        # for each row of x, min squared distance to y, scanning y in chunks
-        y2 = jnp.sum(y * y, axis=-1)
+    Custom VJP: autodiff through the chunked scan would save every (N,
+    chunk) distance block for the backward pass — measured 9.9 GB of HBM
+    at 50k-vs-50k points inside the fit step. The exact gradient only
+    needs the nearest-neighbor INDICES: d/da_i = (2/Na)(a_i - b_nn(i))
+    plus the scatter from b-side matches.
+    """
+    da, _ = _min_d2_idx(a, b, chunk)
+    db, _ = _min_d2_idx(b, a, chunk)
+    return jnp.mean(da) + jnp.mean(db)
 
-        def body(carry, yc):
-            ycv, yc2 = yc
-            d2 = (jnp.sum(x * x, -1)[:, None] - 2 * x @ ycv.T + yc2[None, :])
-            d2 = jnp.maximum(d2, 0.0)  # guard fp32 cancellation
-            return jnp.minimum(carry, d2.min(axis=1)), None
 
-        n = y.shape[0]
-        pad = (-n) % chunk
-        yp = jnp.pad(y, ((0, pad), (0, 0)), constant_values=1e9)
-        y2p = jnp.sum(yp * yp, axis=-1)
-        yc = yp.reshape(-1, chunk, 3)
-        yc2 = y2p.reshape(-1, chunk)
-        init = jnp.full((x.shape[0],), jnp.inf)
-        out, _ = jax.lax.scan(body, init, (yc, yc2))
-        return out
+def _chamfer_fwd(a, b, chunk):
+    da, ia = _min_d2_idx(a, b, chunk)
+    db, ib = _min_d2_idx(b, a, chunk)
+    return jnp.mean(da) + jnp.mean(db), (a, b, ia, ib)
 
-    return jnp.mean(min_d2(a, b)) + jnp.mean(min_d2(b, a))
+
+def _chamfer_bwd(chunk, res, g):
+    a, b, ia, ib = res
+    na = a.shape[0]
+    nb = b.shape[0]
+    ga = (2.0 / na) * (a - b[ia]) \
+        + (2.0 / nb) * jnp.zeros_like(a).at[ib].add(a[ib] - b)
+    gb = (2.0 / nb) * (b - a[ib]) \
+        + (2.0 / na) * jnp.zeros_like(b).at[ia].add(b[ia] - a)
+    return ga * g, gb * g
+
+
+chamfer_distance.defvjp(_chamfer_fwd, _chamfer_bwd)
 
 
 def knn_dist(points: jnp.ndarray, queries: jnp.ndarray, k: int = 1,

@@ -148,9 +148,13 @@ def bin_triangles(xs, ys, face_mask, res: Tuple[int, int], K: int,
     return tile_tris, counts, global_tris, global_count
 
 
-def _rasterize_tiles(xs, ys, zs, tile_tris, res, z_floor: Optional[jnp.ndarray]):
+def _rasterize_tiles(cand, tile_tris, res, z_floor: Optional[jnp.ndarray]):
     """Per-tile dense z-argmin. Returns (tri_id, zbuf) images.
 
+    cand: (T, K, 9) pre-gathered candidate vertex screen coords
+    (ax,ay,az,bx,by,bz,cx,cy,cz) — gathering inside the candidate scan
+    costs ~100s of ms at fitting scale (random gathers are serial-ish on
+    TPU); one bulk gather after binning is cheap.
     z_floor: optional (H, W) minimum depth (exclusive) for depth peeling.
     """
     H, W = res
@@ -173,40 +177,65 @@ def _rasterize_tiles(xs, ys, zs, tile_tris, res, z_floor: Optional[jnp.ndarray])
         z_floor_tiles = zf.reshape(nty, TILE, ntx, TILE).transpose(0, 2, 1, 3)
         z_floor_tiles = z_floor_tiles.reshape(T, TILE, TILE)
 
-    def tile_fn(tids, x0, y0, zfl):
-        # tids: (K,), pixel coords (TILE, TILE)
-        safe = jnp.maximum(tids, 0)
-        ax, bx, cx = xs[safe].T  # (K,) each
-        ay, by, cy = ys[safe].T
-        az, bz, cz = zs[safe].T
+    # candidates are tested K_CHUNK at a time under a lax.scan with a
+    # running (z, tri) minimum: materializing all K candidates' edge
+    # functions at once costs ~10 (T, K, TILE, TILE) f32 arrays — at
+    # 512^2/batch-4 fitting that is ~13 KB per pixel and OOMs 16 GB HBM
+    K_CHUNK = 64
 
+    def tile_fn(tids, cnd, x0, y0, zfl):
+        # tids: (K,), cnd: (K, 9), pixel coords (TILE, TILE)
         px = (gx + x0)[None]    # (1, TILE, TILE)
         py = (gy + y0)[None]
 
-        a = lambda v: v[:, None, None]
-        w0 = _edge(a(bx), a(by), a(cx), a(cy), px, py)
-        w1 = _edge(a(cx), a(cy), a(ax), a(ay), px, py)
-        w2 = _edge(a(ax), a(ay), a(bx), a(by), px, py)
-        area = _edge(a(ax), a(ay), a(bx), a(by), a(cx), a(cy))
+        K = tids.shape[0]
+        pad = (-K) % K_CHUNK
+        tpad = jnp.pad(tids, (0, pad), constant_values=-1)
+        cpad = jnp.pad(cnd, ((0, pad), (0, 0)))
+        chunks = (tpad.reshape(-1, K_CHUNK),
+                  cpad.reshape(-1, K_CHUNK, 9))
 
-        pos = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-        neg = (w0 <= 0) & (w1 <= 0) & (w2 <= 0)
-        inside = (pos | neg) & (jnp.abs(area) > 1e-12) & (tids >= 0)[:, None, None]
+        def body(carry, data):
+            tc, cc = data
+            cz_best, ct_best = carry
+            ax, ay, az = cc[:, 0], cc[:, 1], cc[:, 2]
+            bx, by, bz = cc[:, 3], cc[:, 4], cc[:, 5]
+            cx, cy, cz = cc[:, 6], cc[:, 7], cc[:, 8]
+            a = lambda v: v[:, None, None]
+            w0 = _edge(a(bx), a(by), a(cx), a(cy), px, py)
+            w1 = _edge(a(cx), a(cy), a(ax), a(ay), px, py)
+            w2 = _edge(a(ax), a(ay), a(bx), a(by), px, py)
+            area = _edge(a(ax), a(ay), a(bx), a(by), a(cx), a(cy))
 
-        inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
-        l0 = w0 * inv_area
-        l1 = w1 * inv_area
-        l2 = 1.0 - l0 - l1
-        z = l0 * a(az) + l1 * a(bz) + l2 * a(cz)   # GL screen-linear depth
+            pos = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+            neg = (w0 <= 0) & (w1 <= 0) & (w2 <= 0)
+            inside = (pos | neg) & (jnp.abs(area) > 1e-12) \
+                & (tc >= 0)[:, None, None]
 
-        zok = (z > zfl[None] + 1e-7) & (z >= -1.0) & (z <= 1.0)
-        zcand = jnp.where(inside & zok, z, BIG)
-        best = jnp.argmin(zcand, axis=0)                       # (TILE, TILE)
-        best_z = jnp.take_along_axis(zcand, best[None], axis=0)[0]
-        best_tri = jnp.where(best_z < BIG, tids[best], -1)
-        return best_tri, jnp.where(best_z < BIG, best_z, BIG)
+            inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
+            l0 = w0 * inv_area
+            l1 = w1 * inv_area
+            l2 = 1.0 - l0 - l1
+            z = l0 * a(az) + l1 * a(bz) + l2 * a(cz)  # GL screen-linear z
 
-    tri_tiles, z_tiles = jax.vmap(tile_fn)(tile_tris, tile_x0, tile_y0,
+            zok = (z > zfl[None] + 1e-7) & (z >= -1.0) & (z <= 1.0)
+            zcand = jnp.where(inside & zok, z, BIG)
+            best = jnp.argmin(zcand, axis=0)               # (TILE, TILE)
+            bz_c = jnp.take_along_axis(zcand, best[None], axis=0)[0]
+            bt_c = tc[best]
+            # strict < keeps the earliest candidate on ties, matching the
+            # single-pass argmin's first-index tie-break
+            upd = bz_c < cz_best
+            return (jnp.where(upd, bz_c, cz_best),
+                    jnp.where(upd, bt_c, ct_best)), None
+
+        init = (jnp.full((TILE, TILE), BIG),
+                jnp.full((TILE, TILE), -1, tids.dtype))
+        (best_z, best_tri), _ = jax.lax.scan(body, init, chunks)
+        return (jnp.where(best_z < BIG, best_tri, -1),
+                jnp.where(best_z < BIG, best_z, BIG))
+
+    tri_tiles, z_tiles = jax.vmap(tile_fn)(tile_tris, cand, tile_x0, tile_y0,
                                            z_floor_tiles)
     # (T, TILE, TILE) -> (H, W)
     tri_img = tri_tiles.reshape(nty, ntx, TILE, TILE).transpose(0, 2, 1, 3)
@@ -282,12 +311,16 @@ def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
         [tile_tris, jnp.broadcast_to(global_tris[None], (T, Kg))], axis=1)
     overflow = jnp.maximum(jnp.max(tile_counts) - K, 0) \
         + jnp.maximum(global_count - Kg, 0)
+    # one bulk gather of all candidate vertex coords (T, K+Kg, 9)
+    safe_tt = jnp.maximum(tile_tris, 0)
+    cand = jnp.stack([xs_[:, 0], ys_[:, 0], zs_[:, 0],
+                      xs_[:, 1], ys_[:, 1], zs_[:, 1],
+                      xs_[:, 2], ys_[:, 2], zs_[:, 2]], axis=1)[safe_tt]
 
     layers = []
     z_floor = None
     for _ in range(num_layers):
-        tri_img, z_img = _rasterize_tiles(xs_, ys_, zs_, tile_tris, res,
-                                          z_floor)
+        tri_img, z_img = _rasterize_tiles(cand, tile_tris, res, z_floor)
         tri_img = jax.lax.stop_gradient(tri_img)
         bary, zpix = _barycentrics(v_clip, faces, tri_img, res)
         valid = tri_img >= 0

@@ -165,7 +165,7 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
                 background: Optional[jnp.ndarray] = None, bsdf=None,
                 xfm_lgt=None, tet_centers: Optional[jnp.ndarray] = None,
                 rng: Optional[jax.Array] = None, flat_shading: bool = False,
-                raster_K: int = 256, aa: bool = True
+                raster_K: int = 256, aa: bool = True, remat: bool = False
                 ) -> Dict[str, jnp.ndarray]:
     """Two-layer depth-peeled render of a camera batch
     (reference render.py:235-409).
@@ -189,21 +189,32 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
                            face_mask=mesh.face_mask, num_layers=num_layers,
                            K=raster_K)
         vp = view_pos_b[None, None, :]
-        outs = []
+        bufs = []
         for rast in layers:
-            buf = render_layer(rast, mesh, vp, lgt, bsdf, xfm_lgt=xfm_lgt,
-                               rng=rng_b)
-            outs.append((buf, rast))
-        return outs
+            bufs.append(render_layer(rast, mesh, vp, lgt, bsdf,
+                                     xfm_lgt=xfm_lgt, rng=rng_b))
+        return tuple(bufs), tuple(layers)
 
-    rngs = (jax.random.split(rng, B) if rng is not None else [None] * B)
-    per_view = [one_view(v_clip[b], view_pos[b], rngs[b]) for b in range(B)]
+    # vmap over the camera batch: ONE traced view instead of B copies of
+    # the whole rasterize+shade graph — B-fold smaller programs (the
+    # unrolled 512^2 batch-4 fit step was 8.6 MB of MLIR and crashed the
+    # AOT compiler) and faster compiles everywhere. remat: recompute the
+    # rasterize+shade forward during the backward pass instead of storing
+    # its intermediates (the differentiated 512^2 batch-4 fit step
+    # otherwise needs 21 GB of HBM; the tile z-buffers alone are GBs).
+    body = jax.checkpoint(one_view) if remat else one_view
+    if rng is not None:
+        view_bufs, view_rasts = jax.vmap(body)(
+            v_clip, view_pos, jax.random.split(rng, B))
+    else:
+        view_bufs, view_rasts = jax.vmap(
+            lambda vc, vp: body(vc, vp, None))(v_clip, view_pos)
 
     def stack_layer(li, key):
-        return jnp.stack([per_view[b][li][0][key] for b in range(B)])
+        return view_bufs[li][key]          # (B, H, W, C)
 
     def stack_rast_valid(li):
-        return jnp.stack([per_view[b][li][1].valid for b in range(B)])
+        return view_rasts[li].valid        # (B, H, W)
 
     if background is None:
         background = jnp.zeros((1, full_res[0], full_res[1], 4), jnp.float32)
@@ -224,13 +235,12 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
             # dr.antialias to 'shaded' and normal composites) — the
             # coverage-gradient path to vertex positions
             img = jnp.broadcast_to(img, (B,) + img.shape[1:])
-            img = jnp.stack([
-                antialias(img[b], per_view[b][li][1], v_clip[b],
-                          mesh.t_pos_idx) for b in range(B)])
+            img = jax.vmap(antialias, in_axes=(0, 0, 0, None))(
+                img, view_rasts[li], v_clip, mesh.t_pos_idx)
         return img
 
     out: Dict[str, jnp.ndarray] = {}
-    keys = per_view[0][0][0].keys()
+    keys = view_bufs[0].keys()
     for key in keys:
         if key == 'shaded':
             out[key] = composite(key, 0, background, want_aa=True)
@@ -250,16 +260,14 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
             'normal', 1, jnp.zeros_like(stack_layer(1, 'normal')))
 
     rast0_valid = stack_rast_valid(0)
-    rast0_z = jnp.stack([per_view[b][0][1].zbuf for b in range(B)])
-    out['rast_depth'] = rast0_z
+    out['rast_depth'] = view_rasts[0].zbuf
     # binning-overflow diagnostic (scalar): triangles dropped from the
     # fullest tile / global big-list across views; the fit driver watches
     # this and re-jits with a larger K when nonzero
-    out['raster_overflow'] = jnp.max(jnp.stack(
-        [per_view[b][0][1].bin_overflow for b in range(B)]))
+    out['raster_overflow'] = jnp.max(view_rasts[0].bin_overflow)
     # fixed-size replacement for the reference's dynamic triangle-id list:
     F = mesh.t_pos_idx.shape[0]
-    tri0 = jnp.stack([per_view[b][0][1].tri_id for b in range(B)])
+    tri0 = view_rasts[0].tri_id
     hit = jnp.zeros((F,), bool).at[jnp.maximum(tri0.reshape(-1), 0)].max(
         (tri0 >= 0).reshape(-1))
     out['rast_triangle_mask'] = hit

@@ -95,12 +95,22 @@ def main(iters=300):
         psnr = -10.0 * np.log10(np.maximum(np.mean(mses), 1e-10))
         return cd, psnr
 
-    cd_on, psnr_on = run(True)
-    print(f'AA on : chamfer {cd_on:.5f}  val PSNR {psnr_on:.2f} dB',
-          flush=True)
-    cd_off, psnr_off = run(False)
-    print(f'AA off: chamfer {cd_off:.5f}  val PSNR {psnr_off:.2f} dB',
-          flush=True)
+    import json
+    arms = os.environ.get('AA_ARMS', 'on,off').split(',')
+    results = {}
+    state_path = '/tmp/aa_ablation_state.json'
+    if os.path.exists(state_path):
+        results = json.load(open(state_path))
+    for arm in arms:
+        cd, psnr = run(arm == 'on')
+        results[arm] = [cd, psnr]
+        json.dump(results, open(state_path, 'w'))
+        print(f'AA {arm:3s}: chamfer {cd:.5f}  val PSNR {psnr:.2f} dB',
+              flush=True)
+    if not ('on' in results and 'off' in results):
+        return
+    cd_on, psnr_on = results['on']
+    cd_off, psnr_off = results['off']
 
     with open(os.path.join(os.path.dirname(__file__), '..',
                            'AA_ABLATION.md'), 'w') as fh:
