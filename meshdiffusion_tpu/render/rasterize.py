@@ -148,7 +148,8 @@ def bin_triangles(xs, ys, face_mask, res: Tuple[int, int], K: int,
     return tile_tris, counts, global_tris, global_count
 
 
-def _rasterize_tiles(cand, tile_tris, res, z_floor: Optional[jnp.ndarray]):
+def _rasterize_tiles(cand, tile_tris, res, z_floor: Optional[jnp.ndarray],
+                     use_pallas: Optional[bool] = None):
     """Per-tile dense z-argmin. Returns (tri_id, zbuf) images.
 
     cand: (T, K, 9) pre-gathered candidate vertex screen coords
@@ -156,6 +157,8 @@ def _rasterize_tiles(cand, tile_tris, res, z_floor: Optional[jnp.ndarray]):
     costs ~100s of ms at fitting scale (random gathers are serial-ish on
     TPU); one bulk gather after binning is cheap.
     z_floor: optional (H, W) minimum depth (exclusive) for depth peeling.
+    use_pallas: route the candidate test through the Pallas TPU kernel
+    (ops/tile_raster.py); defaults to True on the TPU backend.
     """
     H, W = res
     ntx = -(-W // TILE)
@@ -235,8 +238,16 @@ def _rasterize_tiles(cand, tile_tris, res, z_floor: Optional[jnp.ndarray]):
         return (jnp.where(best_z < BIG, best_tri, -1),
                 jnp.where(best_z < BIG, best_z, BIG))
 
-    tri_tiles, z_tiles = jax.vmap(tile_fn)(tile_tris, cand, tile_x0, tile_y0,
-                                           z_floor_tiles)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    if use_pallas:
+        from ..ops.tile_raster import tile_zmin_pallas
+        tri_tiles, z_tiles = tile_zmin_pallas(
+            cand, tile_tris, z_floor_tiles, tile_x0, tile_y0, TILE,
+            interpret=jax.default_backend() != 'tpu')
+    else:
+        tri_tiles, z_tiles = jax.vmap(tile_fn)(tile_tris, cand, tile_x0,
+                                               tile_y0, z_floor_tiles)
     # (T, TILE, TILE) -> (H, W)
     tri_img = tri_tiles.reshape(nty, ntx, TILE, TILE).transpose(0, 2, 1, 3)
     tri_img = tri_img.reshape(nty * TILE, ntx * TILE)[:H, :W]
