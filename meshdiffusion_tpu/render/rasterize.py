@@ -239,7 +239,14 @@ def _rasterize_tiles(cand, tile_tris, res, z_floor: Optional[jnp.ndarray],
                 jnp.where(best_z < BIG, best_z, BIG))
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == 'tpu'
+        # opt-in until verified on hardware: the kernel matches the jnp
+        # path exactly in interpret mode (tests/test_tile_raster.py), but
+        # this round's remote TPU compile service 500s on Mosaic programs,
+        # so the measured-good scan path stays the default
+        import os
+        use_pallas = (jax.default_backend() == 'tpu'
+                      and os.environ.get('MESHDIFFUSION_PALLAS_RASTER', '0')
+                      == '1')
     if use_pallas:
         from ..ops.tile_raster import tile_zmin_pallas
         tri_tiles, z_tiles = tile_zmin_pallas(

@@ -2,7 +2,7 @@
 actually converge — chamfer distance falls by an order of magnitude and
 image PSNR rises (VERDICT round-1: smoke tests checked shapes only).
 
-CPU-sized: 16^3-ish tet grid, 64x64 renders, 200 iterations (~1 min)."""
+CPU-sized: 16^3-ish tet grid, 48x48 renders, 120 iterations."""
 
 import dataclasses
 
@@ -42,12 +42,12 @@ def test_pass1_fit_converges(tiny_tet_grid, tmp_path):
     env = light_mod.create_trainable_env_rnd(64, scale=0.0, bias=0.5)
     env.build_mips()
 
-    cfg = F.FitConfig(iter=200, batch=1, train_res=(64, 64),
+    cfg = F.FitConfig(iter=120, batch=1, train_res=(48, 48),
                       dmtet_grid=tg.resolution, mesh_scale=1.0,
                       surface_samples=2000, raster_K=256,
                       normal_only=True, learn_light=True, cam_radius=2.0)
     renderer = TargetRenderer(ref_mesh=ref, envlight=env, cam_radius=2.0,
-                              train_res=(64, 64), num_surface_samples=2000)
+                              train_res=(48, 48), num_surface_samples=2000)
     fitter = DMTetFitter(grid=tg, scale=cfg.mesh_scale, deform_scale=2.0,
                          sdf_regularizer=0.2, total_iter=cfg.iter,
                          buffer_capacity=50)
