@@ -162,7 +162,9 @@ def train(config, max_steps: int | None = None):
         donate_argnums=(0,))
 
     # per-process data feed: each process loads 1/process_count of the
-    # global batch with a process-distinct shuffle seed
+    # global batch from a DISJOINT shard of the dataset (reference DDP
+    # sampler semantics: a global batch is a partition, no cross-host
+    # duplicates); the shuffle seed still differs per process
     local_bs = process_local_batch_size(config.training.batch_size)
     data_seed = config.seed + 1031 * jax.process_index()
     dataset = ShapeNetDMTetDataset(
@@ -175,6 +177,14 @@ def train(config, max_steps: int | None = None):
         normalize_sdf=config.data.normalize_sdf,
         extension=config.data.extension,
         seed=data_seed)
+    if jax.process_count() > 1:
+        dataset.fpath_list = \
+            dataset.fpath_list[jax.process_index()::jax.process_count()]
+        if len(dataset.fpath_list) == 0:
+            raise ValueError(
+                f'dataset smaller than process count '
+                f'({jax.process_count()}): no samples for process '
+                f'{jax.process_index()}')
     iter_size = config.training.iter_size
     loader = None
     if config.data.extension == 'npy':

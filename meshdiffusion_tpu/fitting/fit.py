@@ -96,6 +96,7 @@ class FitConfig:
     tet_root: Optional[str] = None
     normal_only: bool = True
     raster_K: int = 256
+    raster_Kg: int = 64            # global big-triangle list capacity
     antialias: bool = True     # analytic edge AA (dr.antialias equivalent)
     save_baked: bool = False   # UV-unwrap + bake MLP material after pass 2
     surface_samples: int = 50000
@@ -139,11 +140,30 @@ def _material_for_step(cfg: FitConfig, mat_module, mat_params):
     return m
 
 
+def rescale_encoder_grads(g_mat):
+    """Hash-encoder gradient /8 (reference fit_dmtets.py:486-487): every
+    leaf under an 'encoder' path is scaled, all others untouched."""
+    def rescale(path, g):
+        name = '/'.join(str(p) for p in path)
+        return g / 8.0 if 'encoder' in name else g
+    return jax.tree_util.tree_map_with_path(rescale, g_mat)
+
+
 def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
                   mat_module, pass_idx: int = 0,
                   init_v_pos: Optional[jnp.ndarray] = None,
                   mesh_edges: Optional[jnp.ndarray] = None):
-    """Build the jitted one-iteration fit step for pass 1 or pass 2."""
+    """Build the jitted one-iteration fit step for pass 1 or pass 2.
+
+    Returns ``(step, tx_geo, tx_mat, tx_lgt)``. The step signature is
+    ``step(state, mat_params, light_base, opt_geo, opt_mat, opt_lgt, target,
+    iteration, key)``; pass ``light_base=None`` (with ``opt_lgt=None``) when
+    the light is fixed. When a light base cubemap IS passed, its mips are
+    rebuilt inside the differentiated step and it is optimized with the
+    material schedule under the reference's x64 light-gradient boost
+    (fit_dmtets.py:352,365 build_mips-per-forward; :424,484-485 optimizer +
+    grad scale; :516 clamp_(min=0)).
+    """
     image_loss_fn = make_image_loss(cfg.loss)
     lr_geo = lr_schedule(cfg.learning_rate[0],
                          warmup_iter=100 if pass_idx == 1 else 0)
@@ -151,33 +171,44 @@ def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
                          warmup_iter=100 if pass_idx == 1 else 0)
     tx_geo = optax.adam(lr_geo)
     tx_mat = optax.adam(lr_mat)
+    tx_lgt = optax.adam(lr_mat)   # light rides the material lr schedule
 
-    def loss_fn(geo_leaves, mat_params, target, iteration, key):
+    def loss_fn(geo_leaves, mat_params, light_base, target, iteration, key):
         state = target['_state'].replace(sdf=geo_leaves['sdf'],
                                          deform=geo_leaves['deform'])
         material = _material_for_step(cfg, mat_module, mat_params)
+        if light_base is not None:
+            lgt = light_mod.EnvironmentLight(light_base)
+            lgt.build_mips()
+        else:
+            lgt = renderer.envlight
         tgt = {k: v for k, v in target.items() if not k.startswith('_')}
         if pass_idx == 0:
             img_loss, reg_loss, bufs = fitter.tick(
-                state, material, renderer.envlight, tgt, iteration, key,
-                image_loss_fn, raster_K=cfg.raster_K, aa=cfg.antialias)
+                state, material, lgt, tgt, iteration, key,
+                image_loss_fn, raster_K=cfg.raster_K, raster_Kg=cfg.raster_Kg,
+                aa=cfg.antialias)
         else:
             img_loss, reg_loss, bufs = fitter.tick_fixed(
-                state, init_v_pos, material, renderer.envlight, tgt,
+                state, init_v_pos, material, lgt, tgt,
                 iteration, key, image_loss_fn, mesh_edges,
-                raster_K=cfg.raster_K, aa=cfg.antialias)
+                raster_K=cfg.raster_K, raster_Kg=cfg.raster_Kg,
+                aa=cfg.antialias)
         overflow = bufs.get('raster_overflow', jnp.zeros((), jnp.int32))
-        return img_loss + reg_loss, (img_loss, reg_loss, overflow)
+        overflow_g = bufs.get('raster_overflow_global',
+                              jnp.zeros((), jnp.int32))
+        return img_loss + reg_loss, (img_loss, reg_loss, overflow, overflow_g)
 
-    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
 
-    def step(state: FitState, mat_params, opt_geo, opt_mat, target: Dict,
-             iteration, key):
+    def step(state: FitState, mat_params, light_base, opt_geo, opt_mat,
+             opt_lgt, target: Dict, iteration, key):
         geo_leaves = {'sdf': state.sdf, 'deform': state.deform}
         target = dict(target)
         target['_state'] = state
-        (total, (img_loss, reg_loss, overflow)), (g_geo, g_mat) = grad_fn(
-            geo_leaves, mat_params, target, iteration, key)
+        (total, (img_loss, reg_loss, overflow, overflow_g)), \
+            (g_geo, g_mat, g_lgt) = grad_fn(
+                geo_leaves, mat_params, light_base, target, iteration, key)
 
         if pass_idx == 1:
             g_geo = dict(g_geo)
@@ -188,13 +219,15 @@ def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
                               deform=geo_leaves['deform'])
 
         if mat_params is not None:
-            # hash-encoder gradient /8 (reference fit_dmtets.py:486-487)
-            def rescale(path, g):
-                name = '/'.join(str(p) for p in path)
-                return g / 8.0 if 'encoder' in name else g
-            g_mat = jax.tree_util.tree_map_with_path(rescale, g_mat)
+            g_mat = rescale_encoder_grads(g_mat)
             up_mat, opt_mat = tx_mat.update(g_mat, opt_mat, mat_params)
             mat_params = optax.apply_updates(mat_params, up_mat)
+
+        if light_base is not None:
+            g_lgt = g_lgt * 64.0        # reference fit_dmtets.py:484-485
+            up_lgt, opt_lgt = tx_lgt.update(g_lgt, opt_lgt, light_base)
+            light_base = optax.apply_updates(light_base, up_lgt)
+            light_base = jnp.maximum(light_base, 0.0)   # lgt.clamp_(min=0)
 
         # state maintenance (reference fit_dmtets.py:501-502 + dmtet.py)
         if pass_idx == 0:
@@ -203,10 +236,12 @@ def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
         state = fitter.clamp(state)
         state = fitter.update_ema(state)
         metrics = {'img_loss': img_loss, 'reg_loss': reg_loss, 'total': total,
-                   'raster_overflow': overflow}
-        return state, mat_params, opt_geo, opt_mat, metrics
+                   'raster_overflow': overflow,
+                   'raster_overflow_global': overflow_g}
+        return (state, mat_params, light_base, opt_geo, opt_mat, opt_lgt,
+                metrics)
 
-    return jax.jit(step), tx_geo, tx_mat
+    return jax.jit(step), tx_geo, tx_mat, tx_lgt
 
 
 def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
@@ -227,10 +262,9 @@ def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
 
     if cfg.learn_light or cfg.envmap is None:
         envlight = light_mod.create_trainable_env_rnd(512, scale=0.0, bias=0.5)
-        # NOTE: light optimization (reference fit_dmtets.py:484-485 with its
-        # x64 grad boost) is plumbed but disabled, matching the shipped
-        # configs (learn_light=false, res64.json); the random light stays
-        # fixed at its init here.
+        # when learn_light, the candidate render's light is optimized inside
+        # the fit step (reference fit_dmtets.py:697,724,781); the GT target
+        # renderer keeps this initial light either way
         envlight.build_mips()
     else:
         envlight = light_mod.load_env(cfg.envmap, scale=cfg.env_scale,
@@ -260,50 +294,114 @@ def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
 
     np_rng = np.random.default_rng(seed)
 
-    def run_pass(fitter, state, mat_params, pass_idx, init_v_pos=None,
-                 mesh_edges=None):
+    # the reference optimizes the light in both passes when learn_light
+    # (pass 2 additionally gated on lock_light=False, the default:
+    # fit_dmtets.py:582,724,781)
+    light_base0 = envlight.base if cfg.learn_light else None
+
+    def run_pass(fitter, state, mat_params, light_base, pass_idx,
+                 init_v_pos=None, mesh_edges=None):
         pass_cfg = cfg
-        step, tx_geo, tx_mat = make_fit_step(fitter, pass_cfg, renderer,
-                                             mat_module, pass_idx,
-                                             init_v_pos, mesh_edges)
+        step, tx_geo, tx_mat, tx_lgt = make_fit_step(fitter, pass_cfg,
+                                                     renderer, mat_module,
+                                                     pass_idx, init_v_pos,
+                                                     mesh_edges)
         geo_leaves = {'sdf': state.sdf, 'deform': state.deform}
         opt_geo = tx_geo.init(geo_leaves)
         opt_mat = tx_mat.init(mat_params) if mat_params is not None else None
+        opt_lgt = tx_lgt.init(light_base) if light_base is not None else None
         nonlocal key
+
+        def grow_capacity(metrics, it):
+            """Inspect overflow counters; grow K (per-tile) / Kg (global
+            big-triangle list) and re-jit. Returns True if capacity grew."""
+            nonlocal pass_cfg, step
+            tile_over = int(metrics['raster_overflow'])
+            glob_over = int(metrics['raster_overflow_global'])
+            grew = False
+            if tile_over > 0:
+                if pass_cfg.raster_K >= 4096:
+                    logger.error('raster_K at cap 4096 yet %d triangles '
+                                 'dropped from the fullest tile at pass%d '
+                                 'iter=%d; continuing with clipped '
+                                 'rasterization', tile_over, pass_idx, it)
+                else:
+                    need = pass_cfg.raster_K + tile_over
+                    newK = pass_cfg.raster_K
+                    while newK < need:
+                        newK *= 2
+                    newK = min(newK, 4096)
+                    logger.warning('raster tile overflow %d at pass%d '
+                                   'iter=%d: raster_K %d -> %d (re-jit)',
+                                   tile_over, pass_idx, it,
+                                   pass_cfg.raster_K, newK)
+                    pass_cfg = dataclasses.replace(pass_cfg, raster_K=newK)
+                    grew = True
+            if glob_over > 0:
+                if pass_cfg.raster_Kg >= 1024:
+                    logger.error('raster_Kg at cap 1024 yet %d big triangles '
+                                 'dropped at pass%d iter=%d; continuing with '
+                                 'clipped rasterization', glob_over,
+                                 pass_idx, it)
+                else:
+                    need = pass_cfg.raster_Kg + glob_over
+                    newKg = pass_cfg.raster_Kg
+                    while newKg < need:
+                        newKg *= 2
+                    newKg = min(newKg, 1024)
+                    logger.warning('raster global-list overflow %d at pass%d '
+                                   'iter=%d: raster_Kg %d -> %d (re-jit)',
+                                   glob_over, pass_idx, it,
+                                   pass_cfg.raster_Kg, newKg)
+                    pass_cfg = dataclasses.replace(pass_cfg, raster_Kg=newKg)
+                    grew = True
+            if grew:
+                step, _, _, _ = make_fit_step(fitter, pass_cfg, renderer,
+                                              mat_module, pass_idx,
+                                              init_v_pos, mesh_edges)
+            return grew
+
         it = 0
-        while it < cfg.iter:
+        # (pre-step snapshot, metrics) of the previously dispatched step.
+        # Overflow counters are read one step LATE, after the next step has
+        # been dispatched — by then the producing step has retired, so the
+        # int() conversions never block async dispatch (round-2 advisor).
+        # Capacity growth is a rare startup event; on detection we roll back
+        # to the snapshot and redo, so no kept iteration trained clipped.
+        pending = None
+        while True:
+            if it >= cfg.iter:
+                if pending is not None and grow_capacity(pending[1],
+                                                         it - 1):
+                    (state, mat_params, light_base, opt_geo, opt_mat,
+                     opt_lgt, key, it) = pending[0]
+                    pending = None
+                    continue
+                break
+            saved = (state, mat_params, light_base, opt_geo, opt_mat,
+                     opt_lgt, key, it)
             key, k_t, k_s = jax.random.split(key, 3)
             target = renderer.random_target(cfg.batch, np_rng, k_t)
-            new = step(state, mat_params, opt_geo, opt_mat, target,
-                       jnp.asarray(it, jnp.float32), k_s)
-            metrics = new[4]
-            overflow = int(metrics['raster_overflow'])
-            if overflow > 0 and pass_cfg.raster_K < 4096:
-                # tile capacity exceeded: triangles were dropped this step.
-                # Grow K past the observed need and re-jit; redo the step so
-                # no iteration trains on a clipped rasterization.
-                need = pass_cfg.raster_K + overflow
-                newK = pass_cfg.raster_K
-                while newK < need:
-                    newK *= 2
-                logger.warning('raster bin overflow %d at pass%d iter=%d: '
-                               'raster_K %d -> %d (re-jit)', overflow,
-                               pass_idx, it, pass_cfg.raster_K, newK)
-                pass_cfg = dataclasses.replace(pass_cfg, raster_K=newK)
-                step, _, _ = make_fit_step(fitter, pass_cfg, renderer,
-                                           mat_module, pass_idx,
-                                           init_v_pos, mesh_edges)
+            new = step(state, mat_params, light_base, opt_geo, opt_mat,
+                       opt_lgt, target, jnp.asarray(it, jnp.float32), k_s)
+            if pending is not None and grow_capacity(pending[1], it - 1):
+                (state, mat_params, light_base, opt_geo, opt_mat, opt_lgt,
+                 key, it) = pending[0]
+                pending = None
                 continue
-            state, mat_params, opt_geo, opt_mat, metrics = new
+            (state, mat_params, light_base, opt_geo, opt_mat, opt_lgt,
+             metrics) = new
+            pending = (saved, metrics)
             if it % cfg.log_interval == 0:
                 logger.info('pass%d iter=%5d img=%.6f reg=%.6f', pass_idx, it,
                             float(metrics['img_loss']),
                             float(metrics['reg_loss']))
             it += 1
-        return state, mat_params
+        return state, mat_params, light_base
 
     # ---- pass 1
-    state, mat_params = run_pass(fitter, state, mat_params, pass_idx=0)
+    state, mat_params, light_base = run_pass(fitter, state, mat_params,
+                                             light_base0, pass_idx=0)
     m1 = fitter.get_mesh(state)
     vert_mask = np.asarray(m1.valid_vert_idx).astype(np.float32)[:, None]
     pre_path = os.path.join(out_dir, f'tets_pre/dmt_dict_{global_index:05d}')
@@ -333,9 +431,14 @@ def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
     valid = crossing[adj[:, 0]] & crossing[adj[:, 1]]
     mesh_edges = jnp.asarray(adj[valid])
 
-    state2, mat_params = run_pass(fitter2, state2, mat_params, pass_idx=1,
-                                  init_v_pos=init_v_pos,
-                                  mesh_edges=mesh_edges)
+    state2, mat_params, light_base = run_pass(fitter2, state2, mat_params,
+                                              light_base, pass_idx=1,
+                                              init_v_pos=init_v_pos,
+                                              mesh_edges=mesh_edges)
+    if light_base is not None:
+        # keep the optimized light for any post-pass validation/bake
+        envlight.base = light_base
+        envlight.build_mips()
 
     m2 = fitter2.get_mesh(state2)
     vert_mask2 = np.asarray(m2.valid_vert_idx).astype(np.float32)[:, None]

@@ -138,6 +138,7 @@ class DMTetFitter:
     def tick(self, state: FitState, material, lgt, target: Dict,
              iteration: jnp.ndarray, key: jax.Array, image_loss_fn,
              no_depth_thin: bool = True, raster_K: int = 256,
+             raster_Kg: int = 64,
              aa: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
         m = self.get_mesh(state, material)
         res = (target['img'].shape[1], target['img'].shape[2])
@@ -146,7 +147,8 @@ class DMTetFitter:
                               num_layers=2, bsdf=None,
                               background=target.get('background'),
                               xfm_lgt=target.get('envlight_transform'),
-                              rng=key_shade, raster_K=raster_K, aa=aa,
+                              rng=key_shade, raster_K=raster_K,
+                              raster_Kg=raster_Kg, aa=aa,
                               remat=True)
 
         t_iter = iteration / self.total_iter
@@ -223,7 +225,7 @@ class FixedTopoFitter(DMTetFitter):
     def tick_fixed(self, state: FitState, init_v_pos: jnp.ndarray, material,
                    lgt, target: Dict, iteration: jnp.ndarray, key: jax.Array,
                    image_loss_fn, mesh_edges: jnp.ndarray,
-                   raster_K: int = 256, aa: bool = True):
+                   raster_K: int = 256, raster_Kg: int = 64, aa: bool = True):
         m = self.get_mesh(state, material)
         res = (target['img'].shape[1], target['img'].shape[2])
         key_shade, key_pts = jax.random.split(key)
@@ -231,7 +233,8 @@ class FixedTopoFitter(DMTetFitter):
                               num_layers=2, bsdf=None,
                               background=target.get('background'),
                               xfm_lgt=target.get('envlight_transform'),
-                              rng=key_shade, raster_K=raster_K, aa=aa,
+                              rng=key_shade, raster_K=raster_K,
+                              raster_Kg=raster_Kg, aa=aa,
                               remat=True)
 
         t_iter = iteration / self.total_iter

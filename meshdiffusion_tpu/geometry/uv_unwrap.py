@@ -8,7 +8,11 @@ chart-projection atlas:
 
 1. faces are binned by dominant normal axis (6 bins, +-x/+-y/+-z) and split
    into edge-connected components -> charts (a chart never folds past 90
-   degrees, so its axis projection is injective for typical DMTet surfaces);
+   degrees, so its axis projection is injective for typical DMTet surfaces;
+   staircase-shaped charts within one bin CAN still self-overlap, so every
+   chart is verified by rasterizing its triangles into a coverage grid and
+   recursively bisected until its projection is provably injective — the
+   guarantee xatlas provides by construction);
 2. each chart is orthographically projected along its axis (sign-corrected
    so winding is preserved in UV space), keeping world scale -> uniform
    texel density across charts;
@@ -55,6 +59,45 @@ def _face_components(faces: np.ndarray, labels: np.ndarray) -> np.ndarray:
     return np.asarray([find(i) for i in range(F)])
 
 
+def chart_overlaps(uv: np.ndarray, lf: np.ndarray, res: int = 256) -> bool:
+    """True if the chart's projected triangles double-cover any point.
+
+    Rasterizes triangle INTERIORS (strict barycentric margin, so shared
+    edges between neighbors don't count) at pixel centers of a res-bounded
+    grid over the chart bbox and checks for coverage > 1.
+    """
+    if len(lf) < 2:
+        return False
+    size = uv.max(axis=0) - uv.min(axis=0)
+    if size.max() <= 0:
+        return False
+    sc = (res - 1) / size.max()
+    p = (uv - uv.min(axis=0)) * sc                     # pixel space
+    nx = int(np.ceil(size[0] * sc)) + 1
+    ny = int(np.ceil(size[1] * sc)) + 1
+    cover = np.zeros((ny, nx), np.int32)
+    tri = p[lf]                                        # (F, 3, 2)
+    for a, b, c in tri:
+        x0 = max(int(np.floor(min(a[0], b[0], c[0]))), 0)
+        x1 = min(int(np.ceil(max(a[0], b[0], c[0]))), nx - 1)
+        y0 = max(int(np.floor(min(a[1], b[1], c[1]))), 0)
+        y1 = min(int(np.ceil(max(a[1], b[1], c[1]))), ny - 1)
+        if x1 < x0 or y1 < y0:
+            continue
+        gx, gy = np.meshgrid(np.arange(x0, x1 + 1) + 0.5,
+                             np.arange(y0, y1 + 1) + 0.5)
+        d = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        if abs(d) < 1e-12:
+            continue
+        w0 = ((b[0] - a[0]) * (gy - a[1]) - (b[1] - a[1]) * (gx - a[0])) / d
+        w1 = ((a[0] - c[0]) * (gy - c[1]) - (a[1] - c[1]) * (gx - c[0])) / d
+        w2 = 1.0 - w0 - w1
+        eps = 1e-4                                     # strict interior
+        inside = (w0 > eps) & (w1 > eps) & (w2 > eps)
+        cover[y0:y1 + 1, x0:x1 + 1] += inside.astype(np.int32)
+    return bool((cover > 1).any())
+
+
 # per dominant-axis bin: (u axis, v axis, u sign) chosen so the projected
 # triangle keeps its winding (bake rasterization is orientation-agnostic,
 # but consistent winding keeps derivative-based mip selection sane)
@@ -91,9 +134,7 @@ def parametrize(v_pos: np.ndarray, faces: np.ndarray,
     comp = _face_components(faces, bins)
     chart_ids = np.unique(comp)
 
-    charts = []      # (local uvs (k,2), orig vert ids (k,), face rows, ids)
-    for cid in chart_ids:
-        fsel = np.nonzero(comp == cid)[0]
+    def make_chart(fsel):
         b = bins[fsel[0]]
         ua, va, _ = _PROJ[int(b)]
         vids = np.unique(faces[fsel].reshape(-1))
@@ -101,7 +142,30 @@ def parametrize(v_pos: np.ndarray, faces: np.ndarray,
         uv = np.stack([v_pos[vids, ua], v_pos[vids, va]], axis=1)
         uv = uv - uv.min(axis=0)
         lf = np.vectorize(lambda g: local[int(g)])(faces[fsel])
-        charts.append((uv, vids, lf, fsel))
+        return (uv, vids, lf, fsel)
+
+    charts = []      # (local uvs (k,2), orig vert ids (k,), face rows, ids)
+    # injectivity guarantee: a chart whose projection double-covers (checked
+    # by strict-interior rasterization) is bisected along the longer bbox
+    # axis of its face centroids until every piece passes; single-triangle
+    # charts are trivially injective, so termination is guaranteed
+    work = [np.nonzero(comp == cid)[0] for cid in chart_ids]
+    while work:
+        fsel = work.pop()
+        chart = make_chart(fsel)
+        uv, _, lf, _ = chart
+        if len(fsel) > 1 and chart_overlaps(uv, lf):
+            cent = uv[lf].mean(axis=1)                 # (F, 2)
+            axis = int(np.argmax(uv.max(axis=0)))
+            med = np.median(cent[:, axis])
+            left = cent[:, axis] <= med
+            if left.all() or not left.any():           # degenerate split
+                left = np.zeros(len(fsel), bool)
+                left[: len(fsel) // 2] = True
+            work.append(fsel[left])
+            work.append(fsel[~left])
+            continue
+        charts.append(chart)
 
     # shelf packing at uniform world scale
     sizes = np.asarray([c[0].max(axis=0) if len(c[0]) else np.zeros(2)

@@ -166,12 +166,15 @@ class GroupNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
-def _fusable_gn_conv(shape) -> bool:
+def _fusable_gn_conv(shape, out_ch: int) -> bool:
     """Static-shape gate for the fused GN+SiLU+conv kernel: planes large
     enough to feed the MXU (>= 32^2 rows), lane-aligned channels, and a
-    VMEM budget that holds three normalized planes (C <= 256)."""
+    VMEM budget that holds three normalized planes (C <= 256). Both convs
+    of the block run through the kernel, so the OUTPUT channel count must
+    satisfy the same envelope (the second conv is out_ch -> out_ch)."""
     B, D, H, W, C = shape
-    return H * W >= 1024 and W % 8 == 0 and C % 128 == 0 and C <= 256
+    ch_ok = lambda c: c % 128 == 0 and c <= 256
+    return H * W >= 1024 and W % 8 == 0 and ch_ok(C) and ch_ok(out_ch)
 
 
 class _GNParams(nn.Module):
@@ -235,7 +238,7 @@ class ResnetBlockDDPM(nn.Module):
                  *, deterministic: bool = True) -> jnp.ndarray:
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        if self.fused_gn_conv and _fusable_gn_conv(x.shape):
+        if self.fused_gn_conv and _fusable_gn_conv(x.shape, out_ch):
             h = self._fused_body(x, temb, out_ch, deterministic)
         else:
             h = self._plain_body(x, temb, out_ch, deterministic)

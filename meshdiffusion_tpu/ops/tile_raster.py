@@ -4,9 +4,22 @@ The hot loop of the differentiable rasterizer (render/rasterize.py
 ``_rasterize_tiles``): every TILE x TILE tile tests its K candidate
 triangles with edge functions and keeps the nearest hit. The XLA version
 (vmap over tiles + lax.scan over candidate chunks) runs ~100x off VPU
-ideal at fitting scale (~350 ms per 512^2 x4-view layer); this kernel
-walks candidates in a fori_loop with the running (z, tri) minimum held in
-registers — one VREG of pixels per tile, ~15 VPU ops per candidate.
+ideal at fitting scale (~350 ms per 512^2 x4-view layer).
+
+Kernel layout (v5e-native): the (32, 32) pixel tile is flattened to 8
+lane-groups of 128 pixels; each VPU op evaluates 8 CANDIDATES (sublanes)
+x 128 PIXELS (lanes) at once — full (8, 128) vreg utilization, no scalar
+loads (Mosaic rejects dynamic lane indexing: "index in dimension 2 must
+be a multiple of 128", the round-2 blocker). Candidates stream in
+64-wide superblocks along the minor grid axis with the running (z, tri)
+minimum revisited in the output block; the 8-candidate slices inside a
+superblock are python-unrolled, so every memory access has a static
+offset.
+
+Tie-break note: the jnp scan keeps the FIRST candidate on exact z ties;
+this kernel keeps the first 8-candidate group, and the smallest triangle
+id within a group. Exact z ties between different triangles only occur
+for degenerate coincident geometry.
 
 Forward-only by design: triangle selection is non-differentiable (the
 rasterizer wraps it in stop_gradient and re-derives barycentrics
@@ -26,101 +39,135 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e30
+_CGS = 64          # candidates per superblock (one grid step)
+_LANES = 128       # pixels per lane group
 
 
-def _kernel(cand_ref, ids_ref, zfl_ref, x0_ref, y0_ref,
-            outz_ref, outt_ref, *, K, tile):
-    # cand_ref: (9, Kp) candidate coords for THIS tile (ax ay az bx ...)
-    # ids_ref: (1, Kp) candidate tri ids as int32; -1 = empty slot
-    # zfl_ref: (tile, tile) depth-peel floor; x0/y0: (1,1) tile origin SMEM
-    x0 = x0_ref[0, 0, 0]
-    y0 = y0_ref[0, 0, 0]
-    px = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1).astype(
-        jnp.float32) + 0.5 + x0
-    py = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0).astype(
-        jnp.float32) + 0.5 + y0
-    zfl = zfl_ref[0]
+def _kernel(cand_ref, zfl_ref, outz_ref, outt_ref, *, tile, ntx):
+    # cand_ref: (1, CGS, 16) candidate rows [ax ay az bx by bz cx cy cz tid]
+    # zfl_ref/outz_ref/outt_ref: (1, n_pg, 128) — the whole tile's pixels,
+    # sublane = 128-pixel lane group. One grid step processes one tile
+    # against one candidate superblock with every pixel group held in
+    # registers (tiny per-group blocks were DMA-latency-bound: 25 ms/layer
+    # vs this shape's ~handful; measured on v5e).
+    t = pl.program_id(0)
+    cg = pl.program_id(1)
+    n_pg = tile * tile // _LANES
 
-    def body(c, carry):
-        best_z, best_t = carry
-        ax = cand_ref[0, 0, c]
-        ay = cand_ref[0, 1, c]
-        az = cand_ref[0, 2, c]
-        bx = cand_ref[0, 3, c]
-        by = cand_ref[0, 4, c]
-        bz = cand_ref[0, 5, c]
-        cx = cand_ref[0, 6, c]
-        cy = cand_ref[0, 7, c]
-        cz = cand_ref[0, 8, c]
-        tid = ids_ref[0, 0, c]
+    x0 = (t % ntx) * tile
+    y0 = (t // ntx) * tile
 
-        w0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
-        w1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
-        w2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    @pl.when(cg == 0)
+    def _init():
+        outz_ref[0] = jnp.full((n_pg, _LANES), BIG, jnp.float32)
+        outt_ref[0] = jnp.full((n_pg, _LANES), -1.0, jnp.float32)
 
-        pos = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-        neg = (w0 <= 0) & (w1 <= 0) & (w2 <= 0)
+    zfl_all = zfl_ref[0]                               # (n_pg, 128)
+    bz_all = outz_ref[0]
+    bt_all = outt_ref[0]
+    best_z = [bz_all[pg:pg + 1, :] for pg in range(n_pg)]
+    best_t = [bt_all[pg:pg + 1, :] for pg in range(n_pg)]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+    for s in range(_CGS // 8):                         # static unroll
+        g = cand_ref[0, s * 8:(s + 1) * 8, :]          # (8, 16)
+        ax = g[:, 0:1]
+        ay = g[:, 1:2]
+        az = g[:, 2:3]
+        bx = g[:, 3:4]
+        by = g[:, 4:5]
+        bz = g[:, 5:6]
+        cx = g[:, 6:7]
+        cy = g[:, 7:8]
+        cz = g[:, 8:9]
+        tid = g[:, 9:10]                               # float tri ids, -1 pad
+
+        e_ba_x = bx - ax
+        e_ba_y = by - ay
+        area = e_ba_x * (cy - ay) - e_ba_y * (cx - ax)
         ok_area = jnp.abs(area) > 1e-12
-        inside = (pos | neg) & ok_area & (tid >= 0)
-
         inv_area = 1.0 / jnp.where(ok_area, area, 1.0)
-        l0 = w0 * inv_area
-        l1 = w1 * inv_area
-        z = l0 * az + l1 * bz + (1.0 - l0 - l1) * cz
+        live = ok_area & (tid >= 0)
 
-        zok = (z > zfl + 1e-7) & (z >= -1.0) & (z <= 1.0)
-        zc = jnp.where(inside & zok, z, BIG)
-        upd = zc < best_z
-        return (jnp.where(upd, zc, best_z),
-                jnp.where(upd, tid, best_t))
+        for pg in range(n_pg):                         # static unroll
+            flat = lane + pg * _LANES
+            px = (flat % tile + x0).astype(jnp.float32) + 0.5
+            py = (flat // tile + y0).astype(jnp.float32) + 0.5
 
-    init = (jnp.full((tile, tile), BIG, jnp.float32),
-            jnp.full((tile, tile), -1, jnp.int32))
-    best_z, best_t = jax.lax.fori_loop(0, K, body, init)
-    outz_ref[0] = best_z
-    outt_ref[0] = jnp.where(best_z < BIG, best_t, -1)
+            w0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)   # (8, 128)
+            w1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+            w2 = e_ba_x * (py - ay) - e_ba_y * (px - ax)
+
+            pos = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+            neg = (w0 <= 0) & (w1 <= 0) & (w2 <= 0)
+            inside = (pos | neg) & live
+
+            l0 = w0 * inv_area
+            l1 = w1 * inv_area
+            z = l0 * az + l1 * bz + (1.0 - l0 - l1) * cz
+
+            zfl = zfl_all[pg:pg + 1, :]                # (1, 128)
+            zok = (z > zfl + 1e-7) & (z >= -1.0) & (z <= 1.0)
+            zc = jnp.where(inside & zok, z, BIG)       # (8, 128)
+
+            # reduce the 8-candidate group: nearest z, min tid on ties
+            zmin = jnp.min(zc, axis=0, keepdims=True)  # (1, 128)
+            tmin = jnp.min(jnp.where(zc <= zmin, tid, BIG), axis=0,
+                           keepdims=True)
+            upd = zmin < best_z[pg]                    # strict: earliest wins
+            best_z[pg] = jnp.where(upd, zmin, best_z[pg])
+            best_t[pg] = jnp.where(upd, tmin, best_t[pg])
+
+    outz_ref[0] = jnp.concatenate(best_z, axis=0)
+    outt_ref[0] = jnp.concatenate(best_t, axis=0)
 
 
-def tile_zmin_pallas(cand, tile_tris, z_floor_tiles, tile_x0, tile_y0,
+def tile_zmin_pallas(cand, tile_tris, z_floor_tiles, ntx: int,
                      tile: int, interpret: bool = False):
     """cand: (T, K, 9) f32; tile_tris: (T, K) i32; z_floor_tiles:
-    (T, tile, tile) f32; tile_x0/y0: (T,) f32.
+    (T, tile, tile) f32; ntx: static tiles-per-row (tile t sits at pixel
+    origin ((t % ntx) * tile, (t // ntx) * tile), recomputed in-kernel).
     Returns (best_tri (T, tile, tile) i32, best_z (T, tile, tile) f32)."""
     T, K, _ = cand.shape
-    Kp = -(-K // 128) * 128
-    candp = jnp.pad(cand, ((0, 0), (0, Kp - K), (0, 0))).transpose(0, 2, 1)
-    idsp = jnp.pad(tile_tris.astype(jnp.int32), ((0, 0), (0, Kp - K)),
-                   constant_values=-1)[:, None, :]
-    x0 = tile_x0.reshape(T, 1, 1)
-    y0 = tile_y0.reshape(T, 1, 1)
+    assert tile * tile % _LANES == 0
+    n_pg = tile * tile // _LANES
+    Kp = -(-K // _CGS) * _CGS
+    n_cgs = Kp // _CGS
 
-    kern = functools.partial(_kernel, K=K, tile=tile)
+    # pack [9 coords, float tid] into 16 lanes per candidate row; pad rows
+    # carry tid = -1 so they never win
+    packed = jnp.concatenate(
+        [cand, tile_tris.astype(jnp.float32)[..., None],
+         jnp.zeros((T, K, 6), jnp.float32)], axis=-1)
+    if Kp > K:
+        pad_row = jnp.zeros((16,), jnp.float32).at[9].set(-1.0)
+        packed = jnp.concatenate(
+            [packed, jnp.broadcast_to(pad_row, (T, Kp - K, 16))], axis=1)
+
+    zfl = z_floor_tiles.reshape(T, n_pg, _LANES)
+
+    kern = functools.partial(_kernel, tile=tile, ntx=ntx)
+    pix_spec = pl.BlockSpec((1, n_pg, _LANES), lambda t, cg: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
     outz, outt = pl.pallas_call(
         kern,
-        grid=(T,),
+        grid=(T, n_cgs),
         in_specs=[
-            pl.BlockSpec((1, 9, Kp), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, _CGS, 16), lambda t, cg: (t, cg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Kp), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, tile), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pix_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((1, tile, tile), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, tile), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[pix_spec, pix_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((T, tile, tile), jnp.float32),
-            jax.ShapeDtypeStruct((T, tile, tile), jnp.int32),
+            jax.ShapeDtypeStruct((T, n_pg, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T, n_pg, _LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(candp, idsp, z_floor_tiles, x0, y0)
-    return outt, outz
+    )(packed, zfl)
+
+    best_z = outz.reshape(T, tile, tile)
+    best_tf = outt.reshape(T, tile, tile)
+    hit = best_z < BIG
+    best_tri = jnp.where(hit, best_tf, -1.0).astype(jnp.int32)
+    return best_tri, best_z

@@ -54,6 +54,9 @@ class RasterOut:
     # monitor and raise K when nonzero
     bin_overflow: jnp.ndarray = dataclasses.field(
         default_factory=lambda: jnp.zeros((), jnp.int32))
+    # triangles dropped from the global big-triangle list (raise Kg)
+    global_overflow: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
     @property
     def mask(self):
@@ -250,7 +253,7 @@ def _rasterize_tiles(cand, tile_tris, res, z_floor: Optional[jnp.ndarray],
     if use_pallas:
         from ..ops.tile_raster import tile_zmin_pallas
         tri_tiles, z_tiles = tile_zmin_pallas(
-            cand, tile_tris, z_floor_tiles, tile_x0, tile_y0, TILE,
+            cand, tile_tris, z_floor_tiles, ntx, TILE,
             interpret=jax.default_backend() != 'tpu')
     else:
         tri_tiles, z_tiles = jax.vmap(tile_fn)(tile_tris, cand, tile_x0,
@@ -298,7 +301,7 @@ def _barycentrics(v_clip, faces, tri_id, res):
 
 def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
               res: Tuple[int, int], face_mask: Optional[jnp.ndarray] = None,
-              num_layers: int = 1, K: int = 256):
+              num_layers: int = 1, K: int = 256, Kg: int = 64):
     """Rasterize one mesh. Returns a list of ``num_layers`` RasterOut
     (depth-peeled far layers test strictly greater z, reference
     render.py:290-297)."""
@@ -321,14 +324,17 @@ def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
     ys_ = jax.lax.stop_gradient(ys)
     zs_ = jax.lax.stop_gradient(zs)
     tile_tris, tile_counts, global_tris, global_count = bin_triangles(
-        xs_, ys_, face_ok, res, K)
+        xs_, ys_, face_ok, res, K, Kg)
     # every tile also tests the (rare) triangles too big for SPAN binning
     T = tile_tris.shape[0]
-    Kg = global_tris.shape[0]
+    Kg = global_tris.shape[0]            # bin_triangles clamps Kg to F
     tile_tris = jnp.concatenate(
         [tile_tris, jnp.broadcast_to(global_tris[None], (T, Kg))], axis=1)
-    overflow = jnp.maximum(jnp.max(tile_counts) - K, 0) \
-        + jnp.maximum(global_count - Kg, 0)
+    # tracked separately so the caller can grow the right capacity:
+    # per-tile overflow -> grow K, big-triangle list overflow -> grow Kg
+    tile_over = jnp.maximum(jnp.max(tile_counts) - K, 0)
+    global_over = jnp.maximum(global_count - Kg, 0)
+    overflow = tile_over + global_over
     # one bulk gather of all candidate vertex coords (T, K+Kg, 9)
     safe_tt = jnp.maximum(tile_tris, 0)
     cand = jnp.stack([xs_[:, 0], ys_[:, 0], zs_[:, 0],
@@ -346,7 +352,8 @@ def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
         layers.append(RasterOut(tri_id=tri_img, bary=bary,
                                 zbuf=jnp.where(valid, zpix, BIG),
                                 valid=valid,
-                                bin_overflow=overflow))
+                                bin_overflow=tile_over,
+                                global_overflow=global_over))
         z_floor = jax.lax.stop_gradient(jnp.where(valid, z_img, BIG))
     return layers
 
@@ -364,13 +371,80 @@ def interpolate(attr: jnp.ndarray, rast: RasterOut, faces: jnp.ndarray
 
 def uv_derivatives(texc: jnp.ndarray) -> jnp.ndarray:
     """Screen-space uv derivative estimate (du/dx, du/dy, dv/dx, dv/dy) via
-    one-pixel forward differences — feeds mip selection like nvdiffrast's
-    rast_db (approximation; exact analytic derivs not needed by the
-    reference's fitting losses)."""
+    one-pixel forward differences. Kept as the cheap fallback; the exact
+    nvdiffrast-rast_db equivalent is :func:`uv_derivatives_analytic`."""
     du_dx = jnp.diff(texc, axis=1, append=texc[:, -1:])
     du_dy = jnp.diff(texc, axis=0, append=texc[-1:])
     return jnp.concatenate([du_dx[..., :1], du_dy[..., :1],
                             du_dx[..., 1:2], du_dy[..., 1:2]], axis=-1)
+
+
+def uv_derivatives_analytic(uv_attr: jnp.ndarray, rast: RasterOut,
+                            v_clip: jnp.ndarray, faces: jnp.ndarray,
+                            res: Tuple[int, int]) -> jnp.ndarray:
+    """Exact screen-space derivatives (du/dx, du/dy, dv/dx, dv/dy) of the
+    perspective-correct interpolated uv — nvdiffrast's ``rast_db`` feeding
+    ``dr.texture``'s mip selection (reference texture.py:67-75).
+
+    For the winning triangle, the screen-linear barycentrics are affine in
+    pixel coords: l_i = w_i / area with constant gradient rows of the edge
+    functions. Perspective correction p_i = l_i q_i / s, q_i = 1/w_clip_i,
+    s = sum_j l_j q_j, so dp_i = (dl_i q_i s - l_i q_i ds) / s^2 — all in
+    closed form per pixel. uv_attr: (V, 2); returns (H, W, 4), zeros where
+    no coverage."""
+    H, W = res
+    x, y, z, inv_w = _screen_coords(v_clip, res)
+    safe = jnp.maximum(rast.tri_id, 0)
+    f = faces.astype(jnp.int32)[safe]                  # (H, W, 3)
+    ax, bx, cx = x[f[..., 0]], x[f[..., 1]], x[f[..., 2]]
+    ay, by, cy = y[f[..., 0]], y[f[..., 1]], y[f[..., 2]]
+    qa, qb, qc = inv_w[f[..., 0]], inv_w[f[..., 1]], inv_w[f[..., 2]]
+
+    py, px = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32) + 0.5,
+                          jnp.arange(W, dtype=jnp.float32) + 0.5,
+                          indexing='ij')
+    w0 = _edge(bx, by, cx, cy, px, py)
+    w1 = _edge(cx, cy, ax, ay, px, py)
+    area = _edge(ax, ay, bx, by, cx, cy)
+    inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area,
+                               jnp.where(area >= 0, 1e-12, -1e-12))
+    l0 = w0 * inv_area
+    l1 = w1 * inv_area
+    l2 = 1.0 - l0 - l1
+    # affine gradients of the screen-linear barycentrics:
+    # w0 = (cx-bx)(py-by) - (cy-by)(px-bx)  =>  dw0 = (-(cy-by), cx-bx)
+    dl0x = (by - cy) * inv_area
+    dl0y = (cx - bx) * inv_area
+    dl1x = (cy - ay) * inv_area
+    dl1y = (ax - cx) * inv_area
+    dl2x = -(dl0x + dl1x)
+    dl2y = -(dl0y + dl1y)
+
+    n0, n1, n2 = l0 * qa, l1 * qb, l2 * qc
+    s = n0 + n1 + n2
+    s = jnp.where(jnp.abs(s) > 1e-12, s, 1e-12)
+    dsx = dl0x * qa + dl1x * qb + dl2x * qc
+    dsy = dl0y * qa + dl1y * qb + dl2y * qc
+    inv_s = 1.0 / s
+
+    def dp(dlx, dly, q, n):
+        return ((dlx * q - n * inv_s * dsx) * inv_s,
+                (dly * q - n * inv_s * dsy) * inv_s)
+
+    dp0x, dp0y = dp(dl0x, dl0y, qa, n0)
+    dp1x, dp1y = dp(dl1x, dl1y, qb, n1)
+    dp2x, dp2y = dp(dl2x, dl2y, qc, n2)
+
+    uv0 = uv_attr[f[..., 0]]                           # (H, W, 2)
+    uv1 = uv_attr[f[..., 1]]
+    uv2 = uv_attr[f[..., 2]]
+    duv_dx = uv0 * dp0x[..., None] + uv1 * dp1x[..., None] \
+        + uv2 * dp2x[..., None]
+    duv_dy = uv0 * dp0y[..., None] + uv1 * dp1y[..., None] \
+        + uv2 * dp2y[..., None]
+    out = jnp.stack([duv_dx[..., 0], duv_dy[..., 0],
+                     duv_dx[..., 1], duv_dy[..., 1]], axis=-1)
+    return jnp.where(rast.valid[..., None], out, 0.0)
 
 
 def _aa_dir(color, tri, valid, z, x, y, faces, horizontal: bool):

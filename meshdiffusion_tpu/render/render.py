@@ -165,8 +165,8 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
                 background: Optional[jnp.ndarray] = None, bsdf=None,
                 xfm_lgt=None, tet_centers: Optional[jnp.ndarray] = None,
                 rng: Optional[jax.Array] = None, flat_shading: bool = False,
-                raster_K: int = 256, aa: bool = True, remat: bool = False
-                ) -> Dict[str, jnp.ndarray]:
+                raster_K: int = 256, raster_Kg: int = 64, aa: bool = True,
+                remat: bool = False) -> Dict[str, jnp.ndarray]:
     """Two-layer depth-peeled render of a camera batch
     (reference render.py:235-409).
 
@@ -187,7 +187,7 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
     def one_view(v_clip_b, view_pos_b, rng_b):
         layers = rasterize(v_clip_b, mesh.t_pos_idx, full_res,
                            face_mask=mesh.face_mask, num_layers=num_layers,
-                           K=raster_K)
+                           K=raster_K, Kg=raster_Kg)
         vp = view_pos_b[None, None, :]
         bufs = []
         for rast in layers:
@@ -261,10 +261,11 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
 
     rast0_valid = stack_rast_valid(0)
     out['rast_depth'] = view_rasts[0].zbuf
-    # binning-overflow diagnostic (scalar): triangles dropped from the
-    # fullest tile / global big-list across views; the fit driver watches
-    # this and re-jits with a larger K when nonzero
+    # binning-overflow diagnostics (scalars): triangles dropped from the
+    # fullest tile (grow K) / the global big-triangle list (grow Kg) across
+    # views; the fit driver watches these and re-jits with a larger capacity
     out['raster_overflow'] = jnp.max(view_rasts[0].bin_overflow)
+    out['raster_overflow_global'] = jnp.max(view_rasts[0].global_overflow)
     # fixed-size replacement for the reference's dynamic triangle-id list:
     F = mesh.t_pos_idx.shape[0]
     tri0 = view_rasts[0].tri_id

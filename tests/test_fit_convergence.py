@@ -52,8 +52,13 @@ def test_pass1_fit_converges(tiny_tet_grid, tmp_path):
                          sdf_regularizer=0.2, total_iter=cfg.iter,
                          buffer_capacity=50)
     state = fitter.init_state(jax.random.key(1))
-    step, tx_geo, _ = F.make_fit_step(fitter, cfg, renderer, None, 0)
+    step, tx_geo, _, tx_lgt = F.make_fit_step(fitter, cfg, renderer, None, 0)
     opt_geo = tx_geo.init({'sdf': state.sdf, 'deform': state.deform})
+    # learn_light=True: the candidate light base is optimized inside the
+    # step (reference fit_dmtets.py:697,724 optimize_light=learn_light)
+    light_base = env.base
+    opt_lgt = tx_lgt.init(light_base)
+    light_base0 = np.asarray(light_base).copy()
 
     gt_pts = sample_points(ref.v_pos, ref.t_pos_idx, 2000, jax.random.key(2))
 
@@ -72,9 +77,9 @@ def test_pass1_fit_converges(tiny_tet_grid, tmp_path):
     while it < cfg.iter:
         key, k_t, k_s = jax.random.split(key, 3)
         target = renderer.random_target(1, np_rng, k_t)
-        new = step(state, None, opt_geo, None, target,
+        new = step(state, None, light_base, opt_geo, None, opt_lgt, target,
                    jnp.asarray(it, jnp.float32), k_s)
-        overflow = int(new[4]['raster_overflow'])
+        overflow = int(new[6]['raster_overflow'])
         if overflow > 0:
             # the driver's auto-grow contract: re-jit with a bigger K and
             # redo the step (tiny grid at 64^2 concentrates all faces into
@@ -84,16 +89,20 @@ def test_pass1_fit_converges(tiny_tet_grid, tmp_path):
             while newK < need:
                 newK *= 2
             cfg = dataclasses.replace(cfg, raster_K=newK)
-            step, _, _ = F.make_fit_step(fitter, cfg, renderer, None, 0)
+            step, _, _, _ = F.make_fit_step(fitter, cfg, renderer, None, 0)
             regrows += 1
             assert regrows < 8
             continue
-        state, _, opt_geo, _, metrics = new
+        state, _, light_base, opt_geo, _, opt_lgt, metrics = new
         img_hist.append(float(metrics['img_loss']))
         it += 1
 
     cd1 = chamfer_now(state)
     assert np.isfinite(cd1)
+    # the light-optimization path actually ran: base moved, stayed >= 0
+    lb = np.asarray(light_base)
+    assert not np.allclose(lb, light_base0), 'light base never updated'
+    assert (lb >= 0).all(), 'light clamp_(min=0) not applied'
     # chamfer falls: the random-init soup collapses onto the sphere
     # (thresholds calibrated loose for the 120-iter CPU budget; the AA
     # ablation runs the same fit to chamfer ~0.013 at 150 iters)
@@ -103,3 +112,24 @@ def test_pass1_fit_converges(tiny_tet_grid, tmp_path):
     q = len(img_hist) // 4
     assert np.mean(img_hist[-q:]) < 0.8 * np.mean(img_hist[:q]), \
         (np.mean(img_hist[:q]), np.mean(img_hist[-q:]))
+
+
+# Recorded best (AA_ABLATION.md, AA-on arm, 150 iters, this machine):
+# final chamfer 0.01323, 4-pose val PSNR 33.31 dB. The gate fails when fit
+# quality regresses >10% against those measured numbers (VERDICT r2 item 6).
+_RECORDED_CHAMFER = 0.01323
+_RECORDED_PSNR = 33.31
+
+
+@pytest.mark.slow
+def test_fit_quality_vs_recorded_baseline():
+    """A/B regression gate: rerun the exact AA-on ablation arm and compare
+    against the recorded AA_ABLATION.md numbers (same fixture, seeds,
+    cameras, machine)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'tools'))
+    from aa_ablation import run_arm
+    cd, psnr = run_arm(aa=True, iters=150)
+    assert cd <= _RECORDED_CHAMFER * 1.10, (cd, _RECORDED_CHAMFER)
+    assert psnr >= _RECORDED_PSNR * 0.90, (psnr, _RECORDED_PSNR)

@@ -94,6 +94,10 @@ def test_model_tree_identical_and_output_close(rng):
 def test_small_planes_not_fused(rng):
     """Shapes outside the kernel envelope route through the plain path."""
     from meshdiffusion_tpu.models.layers import _fusable_gn_conv
-    assert _fusable_gn_conv((1, 4, 32, 32, 128))
-    assert not _fusable_gn_conv((1, 4, 16, 16, 128))   # plane too small
-    assert not _fusable_gn_conv((1, 4, 32, 32, 512))   # C over VMEM budget
+    assert _fusable_gn_conv((1, 4, 32, 32, 128), 128)
+    assert not _fusable_gn_conv((1, 4, 16, 16, 128), 128)  # plane too small
+    assert not _fusable_gn_conv((1, 4, 32, 32, 512), 512)  # C over VMEM
+    # in_ch inside the envelope but out_ch outside: the SECOND conv would
+    # run at out_ch channels, so the gate must reject (round-2 advisor)
+    assert not _fusable_gn_conv((1, 4, 32, 32, 256), 512)
+    assert not _fusable_gn_conv((1, 4, 32, 32, 128), 192)  # not lane-aligned

@@ -294,3 +294,44 @@ def test_antialias_gradient_zero_when_static():
     g = np.asarray(jax.grad(L)(jnp.asarray(v)))
     # constant color on both sides of every edge -> zero coverage gradient
     np.testing.assert_allclose(g, 0.0, atol=1e-5)
+
+
+def test_uv_derivatives_analytic_matches_finite_differences():
+    """The rast_db equivalent: analytic (du/dx, du/dy, dv/dx, dv/dy) of the
+    perspective-correct uv interpolation equals central differences of the
+    interpolated uv image in triangle interiors (nvdiffrast texture.py mip
+    path contract)."""
+    from meshdiffusion_tpu.render.rasterize import (interpolate,
+                                                    uv_derivatives_analytic)
+    # one big perspective triangle (distinct w per vertex)
+    v = np.array([[-0.9, -0.8, 0.2, 1.4],
+                  [0.95, -0.7, 0.1, 0.8],
+                  [0.0, 0.9, 0.3, 1.1]], np.float32)
+    v = v * np.array([[1.4], [0.8], [1.1]], np.float32)  # clip = w * ndc
+    f = np.array([[0, 1, 2]], np.int32)
+    uv = np.array([[0.1, 0.2], [0.9, 0.15], [0.45, 0.95]], np.float32)
+    res = (64, 64)
+    rast = rasterize(jnp.asarray(v), jnp.asarray(f), res)[0]
+    texc = np.asarray(interpolate(jnp.asarray(uv), rast, jnp.asarray(f)))
+    db = np.asarray(uv_derivatives_analytic(
+        jnp.asarray(uv), rast, jnp.asarray(v), jnp.asarray(f), res))
+    valid = np.asarray(rast.valid)
+    # strict interior: pixels whose 4 neighbors are all covered
+    inner = valid.copy()
+    inner[1:] &= valid[:-1]
+    inner[:-1] &= valid[1:]
+    inner[:, 1:] &= valid[:, :-1]
+    inner[:, :-1] &= valid[:, 1:]
+    assert inner.sum() > 200
+    # central differences (pixel spacing = 1)
+    dx = (texc[:, 2:] - texc[:, :-2]) * 0.5
+    dy = (texc[2:] - texc[:-2]) * 0.5
+    m = inner[1:-1, 1:-1]
+    np.testing.assert_allclose(db[1:-1, 1:-1][m][:, 0],
+                               dx[1:-1][m][:, 0], rtol=0.05, atol=2e-4)
+    np.testing.assert_allclose(db[1:-1, 1:-1][m][:, 2],
+                               dx[1:-1][m][:, 1], rtol=0.05, atol=2e-4)
+    np.testing.assert_allclose(db[1:-1, 1:-1][m][:, 1],
+                               dy[:, 1:-1][m][:, 0], rtol=0.05, atol=2e-4)
+    np.testing.assert_allclose(db[1:-1, 1:-1][m][:, 3],
+                               dy[:, 1:-1][m][:, 1], rtol=0.05, atol=2e-4)

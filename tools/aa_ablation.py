@@ -15,7 +15,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tests'))
 
 
-def main(iters=300):
+def run_arm(aa: bool, iters: int):
+    """One fitting arm of the ablation: the standard GT sphere fixture,
+    ``iters`` pass-1 iterations at 64x64, fixed light, identical
+    seeds/cameras. Returns (final chamfer, 4-pose validation PSNR).
+    Importable (tests/test_fit_convergence.py gates fit quality on the
+    recorded AA-on numbers in AA_ABLATION.md)."""
     import jax
     jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
@@ -61,15 +66,17 @@ def main(iters=300):
                              sdf_regularizer=0.2, total_iter=cfg.iter,
                              buffer_capacity=50)
         state = fitter.init_state(jax.random.key(1))
-        step, tx_geo, _ = F.make_fit_step(fitter, cfg, renderer, None, 0)
+        step, tx_geo, _, _ = F.make_fit_step(fitter, cfg, renderer, None, 0)
         opt_geo = tx_geo.init({'sdf': state.sdf, 'deform': state.deform})
         key = jax.random.key(0)
         np_rng = np.random.default_rng(0)
         for it in range(cfg.iter):
             key, k_t, k_s = jax.random.split(key, 3)
             target = renderer.random_target(1, np_rng, k_t)
-            state, _, opt_geo, _, metrics = step(
-                state, None, opt_geo, None, target,
+            # light fixed (light_base=None) so numbers stay comparable with
+            # the recorded AA_ABLATION.md arms
+            state, _, _, opt_geo, _, _, metrics = step(
+                state, None, None, opt_geo, None, None, target,
                 jnp.asarray(it, jnp.float32), k_s)
             assert int(metrics['raster_overflow']) == 0
 
@@ -95,6 +102,10 @@ def main(iters=300):
         psnr = -10.0 * np.log10(np.maximum(np.mean(mses), 1e-10))
         return cd, psnr
 
+    return run(aa)
+
+
+def main(iters=300):
     import json
     arms = os.environ.get('AA_ARMS', 'on,off').split(',')
     results = {}
@@ -102,7 +113,7 @@ def main(iters=300):
     if os.path.exists(state_path):
         results = json.load(open(state_path))
     for arm in arms:
-        cd, psnr = run(arm == 'on')
+        cd, psnr = run_arm(arm == 'on', iters)
         results[arm] = [cd, psnr]
         json.dump(results, open(state_path, 'w'))
         print(f'AA {arm:3s}: chamfer {cd:.5f}  val PSNR {psnr:.2f} dB',
