@@ -45,15 +45,16 @@ def main():
 
     steps = int(os.environ.get('BENCH_STEPS', '1000'))
     batch = int(os.environ.get('BENCH_BATCH', '1'))
+    cfg_name = os.environ.get('BENCH_CONFIG', 'res64')   # res64 | res128
 
-    cfg = get_config('res64')
+    cfg = get_config(cfg_name)
     cfg.model.num_scales = steps
     cfg.eval.batch_size = batch
     if os.environ.get('BENCH_FUSED'):
         cfg.tpu.fused_gn_silu_conv = bool(int(os.environ['BENCH_FUSED']))
     if os.environ.get('BENCH_ATTN') == '0':      # ablation: no attention
         cfg.model.attn_resolutions = ()
-    R = 64
+    R = int(cfg.data.image_size)
 
     tg = TetGrid.load(R)
     mask = jnp.asarray(tg.grid_mask())[None, ..., None]
@@ -74,8 +75,11 @@ def main():
     sde = VPSDE(N=steps)
     shape = (batch, R, R, R, 4)
     # remote TPU workers kill device programs running longer than ~1 min;
-    # segment the reverse loop to ~30s programs (one compile, many dispatches)
-    seg = int(os.environ.get('BENCH_SEGMENT', str(max(25, 250 // batch))))
+    # segment the reverse loop to ~30s programs (one compile, many
+    # dispatches). res128 steps are ~7x res64's, so segments shrink to match
+    default_seg = 250 if R <= 64 else 40
+    seg = int(os.environ.get('BENCH_SEGMENT', str(max(25, default_seg
+                                                      // batch))))
     cfg.sampling.segment_steps = seg
     sampler = get_sampling_fn(cfg, sde, shape, grid_mask=mask)
 
@@ -120,7 +124,7 @@ def main():
     vs_baseline = meshes_per_min / 6.0
 
     result = {
-        "metric": "res64_uncond_meshes_per_min_per_chip",
+        "metric": f"{cfg_name}_uncond_meshes_per_min_per_chip",
         "value": round(meshes_per_min, 3),
         "unit": "meshes/min/chip",
         "vs_baseline": round(vs_baseline, 3),

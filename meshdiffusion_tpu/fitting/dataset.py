@@ -36,6 +36,15 @@ class TargetRenderer:
     random_lgt: bool = False
     flat_shading: bool = False
     num_surface_samples: int = 50000
+    # >0: pre-render this many random view BATCHES once and sample from the
+    # pool each iteration instead of re-rendering GT every step. The GT
+    # render is 0.9-1.5 s of every fit iteration that the reference also
+    # pays per-iteration (dataset_mesh.py renders in the data loader); the
+    # pool amortizes it to a per-mesh prologue. Pooled targets keep only
+    # the keys the fit losses read, compressed to f16 on device; surface
+    # samples (spts) stay freshly drawn per call so chamfer keeps full
+    # sample diversity. 0 = exact reference behavior.
+    target_pool: int = 0
 
     def random_cameras(self, batch: int, rng: np.random.Generator):
         """Random training poses (reference dataset_mesh.py:78-94)."""
@@ -126,8 +135,54 @@ class TargetRenderer:
         })
         return target
 
+    # target keys the fit losses actually read (geometry.py tick/tick_fixed,
+    # carve_occluded, singleview) — the pool stores only these
+    _POOLED_IMAGE_KEYS = ('img', 'img_second', 'depth', 'depth_second',
+                          'mask_cont')
+
+    def _build_pool(self, batch: int, np_rng: np.random.Generator,
+                    key: jax.Array):
+        entries = []
+        for i in range(self.target_pool):
+            key, k = jax.random.split(key)
+            mv, mvp, campos = self.random_cameras(batch, np_rng)
+            xfm = None
+            if self.random_lgt:
+                xfm = U.random_rotation_translation(0.0, np_rng)[None]
+            t = self.render_target(mvp, campos, k, envlight_transform=xfm)
+            # G-buffers no fit loss reads (normals, pos, viewdir, mask) are
+            # dropped from pooled entries to bound HBM
+            drop = {'spts', 'normal', 'normal_second', 'geo_normal',
+                    'geo_viewdir', 'pos', 'mask'}
+            slim = {k2: v for k2, v in t.items()
+                    if k2 not in self._POOLED_IMAGE_KEYS and k2 not in drop}
+            for k2 in self._POOLED_IMAGE_KEYS:
+                slim[k2] = t[k2].astype(jnp.float16)
+            entries.append(slim)
+        return entries
+
+    def _fresh_spts(self, key: jax.Array) -> jnp.ndarray:
+        fn = getattr(self, '_spts_jit', None)
+        if fn is None:
+            fn = self._spts_jit = jax.jit(lambda k: sample_points(
+                self.ref_mesh.v_pos, self.ref_mesh.t_pos_idx,
+                self.num_surface_samples, k,
+                face_mask=self.ref_mesh.face_mask))
+        return fn(key)
+
     def random_target(self, batch: int, np_rng: np.random.Generator,
                       key: jax.Array) -> Dict:
+        if self.target_pool > 0:
+            pool = getattr(self, '_pool', None)
+            if pool is None or getattr(self, '_pool_batch', None) != batch:
+                key, kp = jax.random.split(key)
+                pool = self._pool = self._build_pool(batch, np_rng, kp)
+                self._pool_batch = batch
+            t = dict(pool[int(np_rng.integers(len(pool)))])
+            for k2 in self._POOLED_IMAGE_KEYS:
+                t[k2] = t[k2].astype(jnp.float32)
+            t['spts'] = self._fresh_spts(key)
+            return t
         mv, mvp, campos = self.random_cameras(batch, np_rng)
         xfm = None
         if self.random_lgt:

@@ -100,6 +100,10 @@ class FitConfig:
     antialias: bool = True     # analytic edge AA (dr.antialias equivalent)
     save_baked: bool = False   # UV-unwrap + bake MLP material after pass 2
     surface_samples: int = 50000
+    # pre-rendered GT view-batch pool (TargetRenderer.target_pool): the
+    # reference re-renders GT every iteration; pooling amortizes ~1 s/iter
+    # into a per-mesh prologue. 0 restores exact reference behavior.
+    target_pool: int = 64
     log_interval: int = 10
     validate: bool = False
     validate_views: int = 8
@@ -274,7 +278,10 @@ def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
                               cam_radius=cfg.cam_radius,
                               train_res=cfg.train_res,
                               random_lgt=cfg.random_lgt,
-                              num_surface_samples=cfg.surface_samples)
+                              num_surface_samples=cfg.surface_samples,
+                              # a pool larger than the iteration count
+                              # would cost more than it saves
+                              target_pool=min(cfg.target_pool, cfg.iter))
 
     grid = TetGrid.load(cfg.dmtet_grid, cfg.tet_root)
     fitter = DMTetFitter(grid=grid, scale=cfg.mesh_scale,

@@ -81,9 +81,31 @@ class TetGrid:
             return TetGrid.from_arrays(
                 resolution, np.asarray(data['vertices'], np.float32),
                 np.asarray(data['indices'], np.int32))
+        # generated grids (the reference ships no 128 asset) cache their
+        # DERIVED arrays on disk: lattice generation + the unique-edge sort
+        # over 6T edges is ~8 min at 128^3, a np.load is seconds
+        cache_dir = os.path.join(os.path.expanduser('~'), '.cache',
+                                 'meshdiffusion_tpu')
+        cache = os.path.join(cache_dir, f'tetgrid_gen_{resolution}.npz')
+        if os.path.exists(cache):
+            d = np.load(cache)
+            return TetGrid(resolution=resolution, verts=d['verts'],
+                           indices=d['indices'],
+                           unique_edges=d['unique_edges'],
+                           tet_edge_to_unique=d['tet_edge_to_unique'],
+                           vert_grid_coords=d['vert_grid_coords'])
         from .generate_tets import generate_tet_grid
         verts, tets = generate_tet_grid(resolution)
-        return TetGrid.from_arrays(resolution, verts, tets)
+        tg = TetGrid.from_arrays(resolution, verts, tets)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            np.savez(cache, verts=tg.verts, indices=tg.indices,
+                     unique_edges=tg.unique_edges,
+                     tet_edge_to_unique=tg.tet_edge_to_unique,
+                     vert_grid_coords=tg.vert_grid_coords)
+        except OSError:
+            pass
+        return tg
 
     @staticmethod
     def from_arrays(resolution: int, verts: np.ndarray, indices: np.ndarray

@@ -125,8 +125,34 @@ class _Conv3DAs2D(nn.Module):
                        (k, k, k, C, self.features))
         b = self.param('bias', nn.initializers.zeros, (self.features,))
         x = x.astype(self.dtype)
-        # gather the k depth taps as channel groups: (B, D, H, W, k*C)
+        import os
+        variant = os.environ.get('MESHDIFFUSION_CONV_IMPL', 'taps')
         half = k // 2
+        if variant == 'sum3':
+            # k 2D convs on the raw (B*D, H, W, C) volume, outputs added
+            # with D-shifts: skips materializing the (B, D, H, W, k*C) tap
+            # concat (one extra read+write of k*C channels per conv) at the
+            # cost of k MXU calls with k-fold smaller contraction depth.
+            x2 = x.reshape(B * D, H, W, C)
+            y = None
+            for kd in range(k):
+                yk = jax.lax.conv_general_dilated(
+                    x2, w[kd].astype(self.dtype), (1, 1), 'SAME',
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                    preferred_element_type=self.dtype)
+                yk = yk.reshape(B, D, H, W, self.features)
+                off = kd - half
+                # y[d] += conv2d(x)[d + off], zeros beyond the D range
+                if off > 0:
+                    yk = jnp.concatenate(
+                        [yk[:, off:], jnp.zeros_like(yk[:, :off])], axis=1)
+                elif off < 0:
+                    yk = jnp.concatenate(
+                        [jnp.zeros_like(yk[:, off:]), yk[:, :off]], axis=1)
+                y = yk if y is None else y + yk
+            return y + b.astype(self.dtype)
+        # default: gather the k depth taps as channel groups
+        # (B, D, H, W, k*C) feeding ONE 2D conv
         taps = []
         for kd in range(k):
             off = kd - half

@@ -242,13 +242,13 @@ def _rasterize_tiles(cand, tile_tris, res, z_floor: Optional[jnp.ndarray],
                 jnp.where(best_z < BIG, best_z, BIG))
 
     if use_pallas is None:
-        # opt-in until verified on hardware: the kernel matches the jnp
-        # path exactly in interpret mode (tests/test_tile_raster.py), but
-        # this round's remote TPU compile service 500s on Mosaic programs,
-        # so the measured-good scan path stays the default
+        # default ON for TPU: the kernel is hardware-validated (exact match
+        # vs this scan path on v5e, 0 mismatches incl. depth peel + vmap)
+        # and 6.1x faster (5.6 vs 34.4 ms per 512^2 layer, round 3).
+        # MESHDIFFUSION_PALLAS_RASTER=0 restores the XLA scan path.
         import os
         use_pallas = (jax.default_backend() == 'tpu'
-                      and os.environ.get('MESHDIFFUSION_PALLAS_RASTER', '0')
+                      and os.environ.get('MESHDIFFUSION_PALLAS_RASTER', '1')
                       == '1')
     if use_pallas:
         from ..ops.tile_raster import tile_zmin_pallas
@@ -299,18 +299,25 @@ def _barycentrics(v_clip, faces, tri_id, res):
     return bary, zpix
 
 
-def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
-              res: Tuple[int, int], face_mask: Optional[jnp.ndarray] = None,
-              num_layers: int = 1, K: int = 256, Kg: int = 64):
-    """Rasterize one mesh. Returns a list of ``num_layers`` RasterOut
-    (depth-peeled far layers test strictly greater z, reference
-    render.py:290-297)."""
+def rasterize_select(v_clip: jnp.ndarray, faces: jnp.ndarray,
+                     res: Tuple[int, int],
+                     face_mask: Optional[jnp.ndarray] = None,
+                     num_layers: int = 1, K: int = 256, Kg: int = 64):
+    """The NON-differentiable half of rasterization: binning + per-tile
+    z-min candidate test, depth-peeled over ``num_layers``.
+
+    Returns (tri_imgs (L, H, W) int32, tile_overflow (), global_overflow
+    ()). Split from :func:`rasterize_apply` so callers can keep triangle
+    selection OUTSIDE a jax.checkpoint region — the fit step's remat
+    otherwise re-runs binning + the z-test in the backward pass even
+    though the selection is wrapped in stop_gradient.
+    """
     faces = faces.astype(jnp.int32)
     F = faces.shape[0]
     if face_mask is None:
         face_mask = jnp.ones((F,), bool)
 
-    x, y, z, inv_w = _screen_coords(v_clip, res)
+    x, y, z, inv_w = _screen_coords(jax.lax.stop_gradient(v_clip), res)
     xs = jnp.stack([x[faces[:, 0]], x[faces[:, 1]], x[faces[:, 2]]], axis=1)
     ys = jnp.stack([y[faces[:, 0]], y[faces[:, 1]], y[faces[:, 2]]], axis=1)
     zs = jnp.stack([z[faces[:, 0]], z[faces[:, 1]], z[faces[:, 2]]], axis=1)
@@ -318,13 +325,11 @@ def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
     # behind-camera triangles are dropped (no near-plane clipping; DMTet
     # objects are fully in front of the reference cameras)
     wall = jnp.stack([v_clip[faces[:, k], 3] for k in range(3)], axis=1)
-    face_ok = face_mask & jnp.all(wall > 1e-6, axis=1)
+    face_ok = face_mask & jnp.all(jax.lax.stop_gradient(wall) > 1e-6,
+                                  axis=1)
 
-    xs_ = jax.lax.stop_gradient(xs)
-    ys_ = jax.lax.stop_gradient(ys)
-    zs_ = jax.lax.stop_gradient(zs)
     tile_tris, tile_counts, global_tris, global_count = bin_triangles(
-        xs_, ys_, face_ok, res, K, Kg)
+        xs, ys, face_ok, res, K, Kg)
     # every tile also tests the (rare) triangles too big for SPAN binning
     T = tile_tris.shape[0]
     Kg = global_tris.shape[0]            # bin_triangles clamps Kg to F
@@ -334,18 +339,35 @@ def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
     # per-tile overflow -> grow K, big-triangle list overflow -> grow Kg
     tile_over = jnp.maximum(jnp.max(tile_counts) - K, 0)
     global_over = jnp.maximum(global_count - Kg, 0)
-    overflow = tile_over + global_over
     # one bulk gather of all candidate vertex coords (T, K+Kg, 9)
     safe_tt = jnp.maximum(tile_tris, 0)
-    cand = jnp.stack([xs_[:, 0], ys_[:, 0], zs_[:, 0],
-                      xs_[:, 1], ys_[:, 1], zs_[:, 1],
-                      xs_[:, 2], ys_[:, 2], zs_[:, 2]], axis=1)[safe_tt]
+    cand = jnp.stack([xs[:, 0], ys[:, 0], zs[:, 0],
+                      xs[:, 1], ys[:, 1], zs[:, 1],
+                      xs[:, 2], ys[:, 2], zs[:, 2]], axis=1)[safe_tt]
 
-    layers = []
+    tri_imgs = []
     z_floor = None
     for _ in range(num_layers):
         tri_img, z_img = _rasterize_tiles(cand, tile_tris, res, z_floor)
-        tri_img = jax.lax.stop_gradient(tri_img)
+        tri_imgs.append(tri_img)
+        z_floor = jnp.where(tri_img >= 0, z_img, BIG)
+    return (jax.lax.stop_gradient(jnp.stack(tri_imgs)), tile_over,
+            global_over)
+
+
+def rasterize_apply(v_clip: jnp.ndarray, faces: jnp.ndarray,
+                    tri_imgs: jnp.ndarray, res: Tuple[int, int],
+                    tile_over=None, global_over=None):
+    """The differentiable half: analytic perspective-correct barycentrics
+    of the (fixed) selected triangles. Returns a list of RasterOut."""
+    faces = faces.astype(jnp.int32)
+    if tile_over is None:
+        tile_over = jnp.zeros((), jnp.int32)
+    if global_over is None:
+        global_over = jnp.zeros((), jnp.int32)
+    layers = []
+    for li in range(tri_imgs.shape[0]):
+        tri_img = tri_imgs[li]
         bary, zpix = _barycentrics(v_clip, faces, tri_img, res)
         valid = tri_img >= 0
         bary = jnp.where(valid[..., None], bary, 0.0)
@@ -354,8 +376,19 @@ def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
                                 valid=valid,
                                 bin_overflow=tile_over,
                                 global_overflow=global_over))
-        z_floor = jax.lax.stop_gradient(jnp.where(valid, z_img, BIG))
     return layers
+
+
+def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
+              res: Tuple[int, int], face_mask: Optional[jnp.ndarray] = None,
+              num_layers: int = 1, K: int = 256, Kg: int = 64):
+    """Rasterize one mesh. Returns a list of ``num_layers`` RasterOut
+    (depth-peeled far layers test strictly greater z, reference
+    render.py:290-297)."""
+    tri_imgs, tile_over, global_over = rasterize_select(
+        v_clip, faces, res, face_mask, num_layers, K, Kg)
+    return rasterize_apply(v_clip, faces, tri_imgs, res, tile_over,
+                           global_over)
 
 
 def interpolate(attr: jnp.ndarray, rast: RasterOut, faces: jnp.ndarray

@@ -27,7 +27,8 @@ from . import ops
 from . import utils
 from .light import EnvironmentLight
 from .mesh import Mesh
-from .rasterize import RasterOut, antialias, interpolate, rasterize
+from .rasterize import (RasterOut, antialias, interpolate, rasterize,
+                        rasterize_apply, rasterize_select)
 from .texture import Texture2D
 
 
@@ -184,10 +185,20 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
     v_clip = ops.xfm_points(jnp.broadcast_to(mesh.v_pos[None],
                                              (B,) + mesh.v_pos.shape), mtx_in)
 
-    def one_view(v_clip_b, view_pos_b, rng_b):
-        layers = rasterize(v_clip_b, mesh.t_pos_idx, full_res,
-                           face_mask=mesh.face_mask, num_layers=num_layers,
-                           K=raster_K, Kg=raster_Kg)
+    # triangle SELECTION (binning + tile z-test) runs OUTSIDE the remat
+    # region: it is stop-gradient anyway, so re-running it in the backward
+    # pass (which jax.checkpoint(one_view) did) would double its cost; the
+    # checkpointed body receives the small (L, H, W) int selections as
+    # saved inputs instead.
+    tri_sel, tile_over, global_over = jax.vmap(
+        lambda vc: rasterize_select(vc, mesh.t_pos_idx, full_res,
+                                    face_mask=mesh.face_mask,
+                                    num_layers=num_layers,
+                                    K=raster_K, Kg=raster_Kg))(v_clip)
+
+    def one_view(v_clip_b, tri_sel_b, view_pos_b, rng_b):
+        layers = rasterize_apply(v_clip_b, mesh.t_pos_idx, tri_sel_b,
+                                 full_res)
         vp = view_pos_b[None, None, :]
         bufs = []
         for rast in layers:
@@ -199,16 +210,17 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
     # the whole rasterize+shade graph — B-fold smaller programs (the
     # unrolled 512^2 batch-4 fit step was 8.6 MB of MLIR and crashed the
     # AOT compiler) and faster compiles everywhere. remat: recompute the
-    # rasterize+shade forward during the backward pass instead of storing
-    # its intermediates (the differentiated 512^2 batch-4 fit step
-    # otherwise needs 21 GB of HBM; the tile z-buffers alone are GBs).
+    # barycentrics+shade forward during the backward pass instead of
+    # storing its intermediates (the differentiated 512^2 batch-4 fit step
+    # otherwise needs 21 GB of HBM).
     body = jax.checkpoint(one_view) if remat else one_view
     if rng is not None:
         view_bufs, view_rasts = jax.vmap(body)(
-            v_clip, view_pos, jax.random.split(rng, B))
+            v_clip, tri_sel, view_pos, jax.random.split(rng, B))
     else:
         view_bufs, view_rasts = jax.vmap(
-            lambda vc, vp: body(vc, vp, None))(v_clip, view_pos)
+            lambda vc, ts, vp: body(vc, ts, vp, None))(v_clip, tri_sel,
+                                                       view_pos)
 
     def stack_layer(li, key):
         return view_bufs[li][key]          # (B, H, W, C)
@@ -264,8 +276,8 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
     # binning-overflow diagnostics (scalars): triangles dropped from the
     # fullest tile (grow K) / the global big-triangle list (grow Kg) across
     # views; the fit driver watches these and re-jits with a larger capacity
-    out['raster_overflow'] = jnp.max(view_rasts[0].bin_overflow)
-    out['raster_overflow_global'] = jnp.max(view_rasts[0].global_overflow)
+    out['raster_overflow'] = jnp.max(tile_over)
+    out['raster_overflow_global'] = jnp.max(global_over)
     # fixed-size replacement for the reference's dynamic triangle-id list:
     F = mesh.t_pos_idx.shape[0]
     tri0 = view_rasts[0].tri_id

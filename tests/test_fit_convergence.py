@@ -46,8 +46,11 @@ def test_pass1_fit_converges(tiny_tet_grid, tmp_path):
                       dmtet_grid=tg.resolution, mesh_scale=1.0,
                       surface_samples=2000, raster_K=256,
                       normal_only=True, learn_light=True, cam_radius=2.0)
+    # target_pool exercised: GT views come from a pre-rendered pool (the
+    # production default) instead of per-iteration renders
     renderer = TargetRenderer(ref_mesh=ref, envlight=env, cam_radius=2.0,
-                              train_res=(48, 48), num_surface_samples=2000)
+                              train_res=(48, 48), num_surface_samples=2000,
+                              target_pool=8)
     fitter = DMTetFitter(grid=tg, scale=cfg.mesh_scale, deform_scale=2.0,
                          sdf_regularizer=0.2, total_iter=cfg.iter,
                          buffer_capacity=50)
