@@ -38,8 +38,15 @@ def sample_points(verts: jnp.ndarray, faces: jnp.ndarray, num: int,
     if face_mask is not None:
         areas = areas * face_mask.astype(areas.dtype)
     k_face, k_uv = jax.random.split(key)
-    logits = jnp.log(jnp.maximum(areas, 1e-20))
-    fidx = jax.random.categorical(k_face, logits, shape=(num,))
+    # inverse-CDF sampling via searchsorted: jax.random.categorical
+    # broadcasts its logits to (num, F) gumbels — 50k draws over the
+    # ~320k-face static marching-tets list cost ~0.45 s/call on TPU
+    # (round-3 decomp); the cumsum+binary-search form is ~11 ms with the
+    # identical area-weighted distribution. No gradient flows through the
+    # integer face choice in either form.
+    cdf = jnp.cumsum(areas)
+    u_face = jax.random.uniform(k_face, (num,)) * cdf[-1]
+    fidx = jnp.minimum(jnp.searchsorted(cdf, u_face), faces.shape[0] - 1)
     u = jax.random.uniform(k_uv, (num, 2))
     # uniform barycentric via sqrt trick
     su = jnp.sqrt(u[:, 0:1])

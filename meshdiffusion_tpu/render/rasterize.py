@@ -572,6 +572,233 @@ def _aa_dir(color, tri, valid, z, x, y, faces, horizontal: bool):
     return delta.at[sl_u].add(du).at[sl_v].add(dv)
 
 
+def _aa_dir_flat(color, tri, valid, z, xy, faces, voffs, horizontal: bool):
+    """View-batched :func:`_aa_dir`: color (B, H, W, C), tri/valid/z
+    (B, H, W), xy (B*V, 2) packed screen coords of all views' vertices,
+    faces (F, 3), voffs (B,) = view index * V.
+
+    Identical math to ``_aa_dir``; the difference is structural: vertex
+    coords are gathered through ONE packed (B*V, 2) table with
+    view-offset indices, so autodiff emits ONE unbatched scatter-add per
+    direction instead of vmapping 6 scatters per view — the vmapped form
+    measured ~4.5x slower inside the fit-step graph (round-3 decomp).
+    """
+    B, H, W, C = color.shape
+    if horizontal:
+        sl_u = (slice(None), slice(None), slice(None, -1))
+        sl_v = (slice(None), slice(None), slice(1, None))
+        py_, px_ = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32) + 0.5,
+                                jnp.arange(W - 1, dtype=jnp.float32) + 0.5,
+                                indexing='ij')
+        pvx, pvy = px_ + 1.0, py_
+    else:
+        sl_u = (slice(None), slice(None, -1), slice(None))
+        sl_v = (slice(None), slice(1, None), slice(None))
+        py_, px_ = jnp.meshgrid(jnp.arange(H - 1, dtype=jnp.float32) + 0.5,
+                                jnp.arange(W, dtype=jnp.float32) + 0.5,
+                                indexing='ij')
+        pvx, pvy = px_, py_ + 1.0
+    pux, puy = px_[None], py_[None]
+    pvx, pvy = pvx[None], pvy[None]
+
+    tu, tv = tri[sl_u], tri[sl_v]
+    vu, vv = valid[sl_u], valid[sl_v]
+    zu, zv = z[sl_u], z[sl_v]
+    cu_, cv_ = color[sl_u], color[sl_v]
+
+    cov_is_u = jnp.where(vu & vv, zu <= zv, vu)
+    active = (tu != tv) & (vu | vv)
+
+    tcov = jnp.where(cov_is_u, tu, tv)
+    # ONE gather: (B, h, w, 3) flat vertex ids -> (B, h, w, 3, 2) coords
+    f = faces[jnp.maximum(tcov, 0)] + voffs[:, None, None, None]
+    pc = xy[f]
+    ax, ay = pc[..., 0, 0], pc[..., 0, 1]
+    bx, by = pc[..., 1, 0], pc[..., 1, 1]
+    cx, cy = pc[..., 2, 0], pc[..., 2, 1]
+    area = _edge(ax, ay, bx, by, cx, cy)
+    s = jnp.where(area >= 0, 1.0, -1.0)
+
+    pcx = jnp.where(cov_is_u, pux, pvx)
+    pcy = jnp.where(cov_is_u, puy, pvy)
+    pox = jnp.where(cov_is_u, pvx, pux)
+    poy = jnp.where(cov_is_u, pvy, puy)
+
+    def edges_at(qx, qy):
+        return (_edge(bx, by, cx, cy, qx, qy) * s,
+                _edge(cx, cy, ax, ay, qx, qy) * s,
+                _edge(ax, ay, bx, by, qx, qy) * s)
+
+    Ec = edges_at(pcx, pcy)
+    Eo = edges_at(pox, poy)
+    exs = ((cx - bx), (ax - cx), (bx - ax))
+    eys = ((cy - by), (ay - cy), (by - ay))
+    t = jnp.full(tu.shape, 2.0)
+    for ec, eo, ex, ey in zip(Ec, Eo, exs, eys):
+        if horizontal:
+            owned = jnp.abs(ey) >= jnp.abs(ex)
+        else:
+            owned = jnp.abs(ex) > jnp.abs(ey)
+        crossing = (eo < 0) & (ec >= 0) & owned
+        denom = ec - eo
+        tk = ec / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+        t = jnp.minimum(t, jnp.where(crossing, tk, 2.0))
+    act = (active & (t <= 1.0)).astype(color.dtype)[..., None]
+    t = jnp.clip(t, 0.0, 1.0)[..., None]
+
+    ccov = jnp.where(cov_is_u[..., None], cu_, cv_)
+    coth = jnp.where(cov_is_u[..., None], cv_, cu_)
+    d_oth = jax.nn.relu(t - 0.5) * (ccov - coth) * act
+    d_cov = jax.nn.relu(0.5 - t) * (coth - ccov) * act
+    du = jnp.where(cov_is_u[..., None], d_cov, d_oth)
+    dv = jnp.where(cov_is_u[..., None], d_oth, d_cov)
+    delta = jnp.zeros_like(color)
+    return delta.at[sl_u].add(du).at[sl_v].add(dv)
+
+
+def _aa_dir_compact(color, tri, valid, z, xy, faces, voffs,
+                    horizontal: bool, budget: int):
+    """Silhouette-compacted edge AA for one neighbor direction.
+
+    Math of :func:`_aa_dir`, but the per-pair work runs only on ACTIVE
+    pixel pairs (differing triangle ids — the silhouette, ~1e3 of ~1e6
+    pairs at 512^2) compacted into a fixed ``budget`` of slots via
+    cumsum + unique-index scatter. The expensive part of the dense
+    formulation was never the math: its backward scatters ~3M
+    pixel-gradient updates into the vertex tables (~0.5 s of the 512^2
+    batch-4 fit step); compaction shrinks every differentiable
+    gather/scatter to ``budget`` rows (all primitives measured 1-3 ms).
+
+    Returns (delta (B, H, W, C), overflow ()) — overflow counts dropped
+    active pairs; callers grow ``budget`` like raster K.
+    """
+    B, H, W, C = color.shape
+    if horizontal:
+        h, w, stride = H, W - 1, 1
+        sl_u = (slice(None), slice(None), slice(None, -1))
+        sl_v = (slice(None), slice(None), slice(1, None))
+    else:
+        h, w, stride = H - 1, W, W
+        sl_u = (slice(None), slice(None, -1), slice(None))
+        sl_v = (slice(None), slice(1, None), slice(None))
+
+    tu, tv = tri[sl_u], tri[sl_v]
+    vu, vv = valid[sl_u], valid[sl_v]
+    zu, zv = z[sl_u], z[sl_v]
+    cov_is_u = jnp.where(vu & vv, zu <= zv, vu)
+    active = (tu != tv) & (vu | vv)
+
+    # ---- compaction (pure int plumbing, no gradients) ----
+    act_flat = active.reshape(-1)
+    pos = jnp.cumsum(act_flat.astype(jnp.int32)) - 1
+    slot = jnp.where(act_flat, pos, budget)
+    sel = jnp.full((budget,), -1, jnp.int32).at[slot].set(
+        jnp.arange(B * h * w, dtype=jnp.int32), mode='drop',
+        unique_indices=True)
+    overflow = jnp.maximum(pos[-1] + 1 - budget, 0)
+    ok = sel >= 0
+    selc = jnp.maximum(sel, 0)
+
+    b = selc // (h * w)
+    r = selc % (h * w)
+    yy = r // w
+    xx = r % w
+    u_id = b * (H * W) + yy * W + xx
+    v_id = u_id + stride
+
+    cov_u = cov_is_u.reshape(-1)[selc]
+    tcov = jnp.where(cov_u, tu.reshape(-1)[selc], tv.reshape(-1)[selc])
+    f = faces[jnp.maximum(tcov, 0)] + voffs[b][:, None]      # (A, 3)
+    pc = xy[f]                                               # (A, 3, 2)
+    ax, ay = pc[:, 0, 0], pc[:, 0, 1]
+    bx, by = pc[:, 1, 0], pc[:, 1, 1]
+    cx, cy = pc[:, 2, 0], pc[:, 2, 1]
+    area = _edge(ax, ay, bx, by, cx, cy)
+    s = jnp.where(area >= 0, 1.0, -1.0)
+
+    pux = xx.astype(jnp.float32) + 0.5
+    puy = yy.astype(jnp.float32) + 0.5
+    if horizontal:
+        pvx, pvy = pux + 1.0, puy
+    else:
+        pvx, pvy = pux, puy + 1.0
+    pcx = jnp.where(cov_u, pux, pvx)
+    pcy = jnp.where(cov_u, puy, pvy)
+    pox = jnp.where(cov_u, pvx, pux)
+    poy = jnp.where(cov_u, pvy, puy)
+
+    def edges_at(qx, qy):
+        return (_edge(bx, by, cx, cy, qx, qy) * s,
+                _edge(cx, cy, ax, ay, qx, qy) * s,
+                _edge(ax, ay, bx, by, qx, qy) * s)
+
+    Ec = edges_at(pcx, pcy)
+    Eo = edges_at(pox, poy)
+    exs = ((cx - bx), (ax - cx), (bx - ax))
+    eys = ((cy - by), (ay - cy), (by - ay))
+    t = jnp.full((budget,), 2.0)
+    for ec, eo, ex, ey in zip(Ec, Eo, exs, eys):
+        if horizontal:
+            owned = jnp.abs(ey) >= jnp.abs(ex)
+        else:
+            owned = jnp.abs(ex) > jnp.abs(ey)
+        crossing = (eo < 0) & (ec >= 0) & owned
+        denom = ec - eo
+        tk = ec / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+        t = jnp.minimum(t, jnp.where(crossing, tk, 2.0))
+    act = (ok & (t <= 1.0)).astype(color.dtype)[:, None]
+    t = jnp.clip(t, 0.0, 1.0)[:, None]
+
+    col_flat = color.reshape(B * H * W, C)
+    cu_ = col_flat[u_id]
+    cv_ = col_flat[v_id]
+    ccov = jnp.where(cov_u[:, None], cu_, cv_)
+    coth = jnp.where(cov_u[:, None], cv_, cu_)
+    d_oth = jax.nn.relu(t - 0.5) * (ccov - coth) * act
+    d_cov = jax.nn.relu(0.5 - t) * (coth - ccov) * act
+    du = jnp.where(cov_u[:, None], d_cov, d_oth)
+    dv = jnp.where(cov_u[:, None], d_oth, d_cov)
+    # unfilled slots carry act=0 but would still write zeros at pixel 0;
+    # route them out of bounds instead
+    u_id = jnp.where(ok, u_id, B * H * W)
+    v_id = jnp.where(ok, v_id, B * H * W)
+    delta = jnp.zeros((B * H * W, C), color.dtype)
+    delta = delta.at[u_id].add(du, mode='drop', unique_indices=True)
+    delta = delta.at[v_id].add(dv, mode='drop', unique_indices=True)
+    return delta.reshape(B, H, W, C), overflow
+
+
+def antialias_views(color: jnp.ndarray, tri_id: jnp.ndarray,
+                    valid: jnp.ndarray, zbuf: jnp.ndarray,
+                    v_clip: jnp.ndarray, faces: jnp.ndarray,
+                    impl: str = 'compact', budget: Optional[int] = None):
+    """All-views edge AA in one call (semantics of ``vmap(antialias)``
+    over the view batch).
+
+    color (B, H, W, C); tri_id/valid/zbuf (B, H, W); v_clip (B, V, 4);
+    faces (F, 3). Packs every view's screen coords into one (B*V, 2)
+    table. impl 'compact' (default) runs the pair math only on a
+    fixed-budget compaction of silhouette pairs; 'flat' runs it densely.
+    Returns (img, overflow) — overflow is 0 for 'flat'.
+    """
+    B, H, W, _ = color.shape
+    V = v_clip.shape[1]
+    x, y, _, _ = _screen_coords(v_clip.reshape(B * V, 4), (H, W))
+    xy = jnp.stack([x, y], axis=-1)
+    voffs = jnp.arange(B, dtype=jnp.int32) * V
+    faces = faces.astype(jnp.int32)
+    args = (tri_id, valid, zbuf, xy, faces, voffs)
+    if impl == 'compact':
+        if budget is None:
+            # ~16x a typical blob silhouette at this resolution
+            budget = B * (H + W) * 8
+        dh, oh = _aa_dir_compact(color, *args, True, budget)
+        dv_, ov = _aa_dir_compact(color, *args, False, budget)
+        return color + dh + dv_, jnp.maximum(oh, ov)
+    return (color + _aa_dir_flat(color, *args, True)
+            + _aa_dir_flat(color, *args, False)), jnp.zeros((), jnp.int32)
+
+
 def antialias(color: jnp.ndarray, rast: RasterOut, v_clip: jnp.ndarray,
               faces: jnp.ndarray) -> jnp.ndarray:
     """Differentiable edge antialiasing (``dr.antialias`` equivalent,

@@ -335,3 +335,85 @@ def test_uv_derivatives_analytic_matches_finite_differences():
                                dy[:, 1:-1][m][:, 0], rtol=0.05, atol=2e-4)
     np.testing.assert_allclose(db[1:-1, 1:-1][m][:, 3],
                                dy[:, 1:-1][m][:, 1], rtol=0.05, atol=2e-4)
+
+
+def test_antialias_views_matches_vmap():
+    """The flat (packed-views) AA path is numerically the vmapped
+    per-view antialias — values and gradients."""
+    import jax
+    from meshdiffusion_tpu.render.rasterize import (antialias,
+                                                    antialias_views,
+                                                    rasterize)
+    rng = np.random.default_rng(3)
+    B, res = 3, (24, 24)
+    v, f = two_triangles()
+    v = jnp.asarray(v)
+    f = jnp.asarray(f)
+    # distinct per-view geometry: small per-view vertex jitter
+    jit_v = jnp.asarray(rng.normal(0, 0.03, (B,) + v.shape).astype(np.float32))
+    v_clip = v[None] + jit_v.at[..., 3].set(0.0)
+    rasts = [rasterize(v_clip[b], f, res)[0] for b in range(B)]
+    tri = jnp.stack([r.tri_id for r in rasts])
+    valid = jnp.stack([r.valid for r in rasts])
+    zbuf = jnp.stack([r.zbuf for r in rasts])
+    col = jnp.asarray(rng.normal(0, 1, (B,) + res + (4,)).astype(np.float32))
+
+    def flat(c, vc):
+        return antialias_views(c, tri, valid, zbuf, vc, f, impl='flat')[0]
+
+    def compact(c, vc):
+        out, over = antialias_views(c, tri, valid, zbuf, vc, f,
+                                    impl='compact', budget=4096)
+        return out
+
+    def vmapped(c, vc):
+        return jax.vmap(
+            lambda cb, rb, vb: antialias(cb, rb, vb, f),
+            in_axes=(0, 0, 0))(c, jax.tree.map(
+                lambda *xs: jnp.stack(xs), *rasts), vc)
+
+    out_f = flat(col, v_clip)
+    out_v = vmapped(col, v_clip)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_v),
+                               atol=1e-5, rtol=1e-5)
+    # compacted silhouette-pair path: same values and gradients as well
+    out_c = compact(col, v_clip)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_v),
+                               atol=1e-5, rtol=1e-5)
+    gc_c, gc_v = jax.grad(lambda c, vc: jnp.sum(compact(c, vc) ** 2),
+                          argnums=(0, 1))(col, v_clip)
+
+    gf_c, gf_v = jax.grad(lambda c, vc: jnp.sum(flat(c, vc) ** 2),
+                          argnums=(0, 1))(col, v_clip)
+    gv_c, gv_v = jax.grad(lambda c, vc: jnp.sum(vmapped(c, vc) ** 2),
+                          argnums=(0, 1))(col, v_clip)
+    np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gv_c),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf_v), np.asarray(gv_v),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gc_c), np.asarray(gv_c),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gc_v), np.asarray(gv_v),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_antialias_compact_overflow_counts():
+    """A too-small pair budget reports the dropped-pair count instead of
+    silently mis-rendering everything."""
+    from meshdiffusion_tpu.render.rasterize import (antialias_views,
+                                                    rasterize)
+    rng = np.random.default_rng(5)
+    res = (24, 24)
+    v, f = two_triangles()
+    v_clip = jnp.asarray(v)[None]
+    f = jnp.asarray(f)
+    rast = rasterize(v_clip[0], f, res)[0]
+    col = jnp.asarray(rng.normal(0, 1, (1,) + res + (4,)).astype(np.float32))
+    _, over_big = antialias_views(col, rast.tri_id[None], rast.valid[None],
+                                  rast.zbuf[None], v_clip, f,
+                                  impl='compact', budget=4096)
+    _, over_tiny = antialias_views(col, rast.tri_id[None], rast.valid[None],
+                                   rast.zbuf[None], v_clip, f,
+                                   impl='compact', budget=2)
+    assert int(over_big) == 0
+    assert int(over_tiny) > 0
