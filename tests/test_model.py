@@ -127,14 +127,14 @@ def test_bf16_compute_train_grads():
 
 
 def test_conv3d_sum3_variant_matches(monkeypatch):
-    """The MESHDIFFUSION_CONV_IMPL=sum3 lowering (k shifted 2D convs summed
-    over the depth taps) is numerically the taps-concat lowering."""
+    """The default sum3 lowering (k shifted 2D convs summed over the
+    depth taps) is numerically the taps-concat lowering."""
     from meshdiffusion_tpu.models.layers import Conv3D
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, 16)).astype(np.float32))
     m = Conv3D(12, 3)
     p = m.init(jax.random.key(0), x)
-    monkeypatch.delenv('MESHDIFFUSION_CONV_IMPL', raising=False)
+    monkeypatch.setenv('MESHDIFFUSION_CONV_IMPL', 'taps')
     y0 = m.apply(p, x)
     monkeypatch.setenv('MESHDIFFUSION_CONV_IMPL', 'sum3')
     y1 = m.apply(p, x)
