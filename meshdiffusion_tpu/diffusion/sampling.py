@@ -278,14 +278,14 @@ def get_pc_sampler(sde: VPSDE,
             return fn(model_fn, row, x, key, batch)
         return fn(model_fn, row, x, key, batch, snr=snr, n_steps=n_steps)
 
-    def compute_xzero(model_fn, x, row):
+    def compute_xzero(model_fn, x, row, gm):
         """x0 prediction for trajectory capture (reference sampling.py:410-420)."""
         labels = jnp.full((batch,), row['labels'], dtype=jnp.float32)
         eps_hat = model_fn(x, labels)
         sqrt_ac = jnp.asarray(sde.sqrt_alphas_cumprod)[
             (row['t'] * (sde.N - 1) / sde.T).astype(jnp.int32)]
         x0 = (x - row['std'] * eps_hat) / sqrt_ac
-        return jnp.clip(x0, -1.0, 1.0) * grid_mask
+        return jnp.clip(x0, -1.0, 1.0) * gm
 
     rows = tables.stacked()
     n_traj = ((sde.N - 1 - traj_start + traj_every - 1) // traj_every
@@ -300,7 +300,11 @@ def get_pc_sampler(sde: VPSDE,
     def _uncond_seg(model_fn, has_params: bool, length: int):
         ck = ('uncond', model_fn, has_params, length)
         if ck not in seg_cache:
-            def run(p, carry, start):
+            # the occupancy mask is a jit ARGUMENT, not a closure: a
+            # closed-over mask is embedded in the serialized program as a
+            # literal (8.4 MB at 128^3), which overflows the remote compile
+            # service's request-size limit (HTTP 413, round 3)
+            def run(p, carry, start, gm):
                 mf = ((lambda xx, ll: model_fn(p, xx, ll)) if has_params
                       else model_fn)
 
@@ -311,14 +315,14 @@ def get_pc_sampler(sde: VPSDE,
                     row = {k: v[ii] for k, v in rows.items()}
                     key, ck_, pk = jax.random.split(key, 3)
                     x_new, x_mean = corrector_update(mf, row, x, ck_)
-                    x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
+                    x_new, x_mean = x_new * gm, x_mean * gm
                     x_new, x_mean = predictor_update(mf, row, x_new, pk)
-                    x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
+                    x_new, x_mean = x_new * gm, x_mean * gm
                     if return_traj:
                         want = active & (i >= traj_start) & (i % traj_every == 0)
                         slot = jnp.clip((i - traj_start) // traj_every, 0,
                                         max(n_traj - 1, 0))
-                        x0 = compute_xzero(mf, x_new, row)
+                        x0 = compute_xzero(mf, x_new, row, gm)
                         traj = jax.lax.cond(
                             want,
                             lambda tr: jax.lax.dynamic_update_index_in_dim(
@@ -336,8 +340,8 @@ def get_pc_sampler(sde: VPSDE,
     def _cond_seg(model_fn, has_params: bool, length: int):
         ck = ('cond', model_fn, has_params, length)
         if ck not in seg_cache:
-            def run(pr, carry, start, p, m, freeze_iters):
-                gm0 = grid_mask[..., 0]
+            def run(pr, carry, start, p, m, freeze_iters, gm):
+                gm0 = gm[..., 0]
                 mf = ((lambda xx, ll: model_fn(pr, xx, ll)) if has_params
                       else model_fn)
 
@@ -348,9 +352,9 @@ def get_pc_sampler(sde: VPSDE,
                     row = {k: v[ii] for k, v in rows.items()}
                     key, ck_, pk, nk = jax.random.split(key, 4)
                     x_new, x_mean = corrector_update(mf, row, x, ck_)
-                    x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
+                    x_new, x_mean = x_new * gm, x_mean * gm
                     x_new, x_mean = predictor_update(mf, row, x_new, pk)
-                    x_new, x_mean = x_new * grid_mask, x_mean * grid_mask
+                    x_new, x_mean = x_new * gm, x_mean * gm
 
                     # mask-and-replace with fresh noise at the current level
                     noise = jax.random.normal(nk, p.shape, dtype=jnp.float32)
@@ -387,7 +391,7 @@ def get_pc_sampler(sde: VPSDE,
         L = total if segment_steps is None else segment_steps
         seg_fn = _uncond_seg(model_fn, params is not None, L)
         for s in range(0, total, L):
-            carry = seg_fn(params, carry, jnp.asarray(s))
+            carry = seg_fn(params, carry, jnp.asarray(s), grid_mask)
         x, x_mean, _, traj = carry
         out = x_mean if denoise else x
         if return_traj:
@@ -423,7 +427,8 @@ def get_pc_sampler(sde: VPSDE,
         seg_fn = _cond_seg(model_fn, params is not None, L)
         fi = jnp.asarray(freeze_iters, jnp.int32)
         for s in range(0, sde.N, L):
-            carry = seg_fn(params, carry, jnp.asarray(s), p, m, fi)
+            carry = seg_fn(params, carry, jnp.asarray(s), p, m, fi,
+                           grid_mask)
         x, x_mean, _ = carry
         out = x_mean if denoise else x
         return out, sde.N * (n_steps + 1)
@@ -503,7 +508,7 @@ def get_ddim_sampler(sde: VPSDE, shape: Tuple[int, ...],
     def _ddim_run(model_fn, has_params: bool, has_partial: bool):
         ck = (model_fn, has_params, has_partial)
         if ck not in run_cache:
-            def run(pr, x, p, m):
+            def run(pr, x, p, m, gm):
                 mf = ((lambda xx, ll: model_fn(pr, xx, ll)) if has_params
                       else model_fn)
 
@@ -516,8 +521,8 @@ def get_ddim_sampler(sde: VPSDE, shape: Tuple[int, ...],
                     x0_pred = x0_pred_scaled / row['a1']
                     x_new = (row['r1'] * x
                              + (-row['r1'] + row['r2']) * score_scaled_t)
-                    x_new = x_new * grid_mask
-                    x0_pred = x0_pred * grid_mask
+                    x_new = x_new * gm
+                    x0_pred = x0_pred * gm
                     if has_partial:
                         x_new = x_new.at[..., 0].set(
                             x_new[..., 0] * (1 - m) + p * m)
@@ -528,7 +533,7 @@ def get_ddim_sampler(sde: VPSDE, shape: Tuple[int, ...],
                 (x, x0_pred), _ = jax.lax.scan(
                     body, (x, jnp.zeros_like(x)), coeffs)
                 out = x0_pred if denoise else x
-                return out * grid_mask
+                return out * gm
             run_cache[ck] = jax.jit(run)
         return run_cache[ck]
 
@@ -548,7 +553,7 @@ def get_ddim_sampler(sde: VPSDE, shape: Tuple[int, ...],
             p = m = jnp.zeros((1,) + tuple(shape[1:4]), jnp.float32)
 
         run = _ddim_run(model_fn, params is not None, has_partial)
-        out = run(params, x, p, m)
+        out = run(params, x, p, m, grid_mask)
         return out, sde.N * 2
 
     return sampler
