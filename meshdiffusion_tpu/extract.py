@@ -31,17 +31,28 @@ logger = logging.getLogger(__name__)
 
 def make_grid_to_mesh(tet_grid: TetGrid, mesh_scale: float = 2.1,
                       deform_scale: float = 1.0, unnormalized_sdf: bool = False):
-    """Jitted (R, R, R, 4) channels-last grid -> padded marching-tets mesh."""
+    """Jitted (R, R, R, 4) channels-last grid -> padded marching-tets mesh.
+
+    The grid's big arrays ride as jit ARGUMENTS: closed-over constants are
+    serialized into the program (the 128^3 grid's tet/edge tables are
+    ~0.5 GB), which overflows the remote compile service's request-size
+    limit (HTTP 413) and bloats the compile cache.
+    """
+    import dataclasses as _dc
+    arr_fields = ('verts', 'indices', 'unique_edges', 'tet_edge_to_unique',
+                  'vert_grid_coords')
+    arrs = {k: jnp.asarray(getattr(tet_grid, k)) for k in arr_fields}
 
     @jax.jit
-    def fn(grid):
-        sdf, deform = tet_grid.grid_to_tet(grid,
-                                           normalize_sdf=not unnormalized_sdf)
-        vpos = tet_grid.deformed_verts(deform, scale=mesh_scale,
-                                       deform_scale=deform_scale)
-        return marching_tets(tet_grid, vpos, sdf)
+    def fn(grid, arrs):
+        tg = _dc.replace(tet_grid, **arrs)
+        sdf, deform = tg.grid_to_tet(grid,
+                                     normalize_sdf=not unnormalized_sdf)
+        vpos = tg.deformed_verts(deform, scale=mesh_scale,
+                                 deform_scale=deform_scale)
+        return marching_tets(tg, vpos, sdf)
 
-    return fn
+    return lambda grid: fn(grid, arrs)
 
 
 _GRID_TO_MESH_CACHE = {}
