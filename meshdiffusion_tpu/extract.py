@@ -52,7 +52,16 @@ def make_grid_to_mesh(tet_grid: TetGrid, mesh_scale: float = 2.1,
                                  deform_scale=deform_scale)
         return marching_tets(tg, vpos, sdf)
 
-    return lambda grid: fn(grid, arrs)
+    class _Bound:
+        """Callable with .lower(), the table arrays pre-bound."""
+
+        def __call__(self, grid):
+            return fn(grid, arrs)
+
+        def lower(self, grid):
+            return fn.lower(grid, arrs)
+
+    return _Bound()
 
 
 _GRID_TO_MESH_CACHE = {}
