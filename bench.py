@@ -114,7 +114,7 @@ def main():
     meshes = []
     for i in range(batch):
         mt = g2m(out[i])
-        meshes.append(compact_mesh(mt))   # np.asarray inside forces sync
+        meshes.append(g2m.compact(mt))   # np.asarray inside forces sync
     t_extract = time.perf_counter() - t0
 
     total = t_sample + t_extract

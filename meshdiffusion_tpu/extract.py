@@ -39,6 +39,51 @@ def make_grid_to_mesh(tet_grid: TetGrid, mesh_scale: float = 2.1,
     limit (HTTP 413) and bloats the compile cache.
     """
     import dataclasses as _dc
+
+    if tet_grid.num_tets > 2_000_000:
+        # 128^3-scale grids additionally need the structure-of-arrays
+        # marching tets: TPU layouts pad (T, 6)/(2T, 3) tables to 128
+        # lanes, which costs ~17 GB HBM at T=12.6M (buffer-assignment
+        # OOM, round 3)
+        from .geometry.marching_tets import marching_tets_soa, soa_tables
+        tables = soa_tables(tet_grid)
+        c = np.asarray(tet_grid.vert_grid_coords, np.int32)
+        coords = tuple(jnp.asarray(c[:, j]) for j in range(3))
+        verts_T = jnp.asarray(np.ascontiguousarray(
+            np.asarray(tet_grid.verts, np.float32).T))       # (3, V)
+        coef = 2.0 / (tet_grid.resolution * 2) * deform_scale
+
+        @jax.jit
+        def fn_soa(grid, tables, coords, vT):
+            cx, cy, cz = coords
+            R = grid.shape[0]
+            lin = (cx * R + cy) * R + cz
+            sdf = grid[..., 0].reshape(-1)[lin]
+            if not unnormalized_sdf:
+                s = jnp.sign(sdf)
+                sdf = jnp.where(s == 0, 1.0, s)
+            v_pos_T = jnp.stack([
+                vT[j] * mesh_scale
+                + coef * jnp.clip(grid[..., 1 + j].reshape(-1)[lin],
+                                  -1.0, 1.0) for j in range(3)])
+            return marching_tets_soa(tables, v_pos_T, sdf)
+
+        class _BoundSoA:
+            soa = True
+
+            def __call__(self, grid):
+                return fn_soa(grid, tables, coords, verts_T)
+
+            def lower(self, grid):
+                return fn_soa.lower(grid, tables, coords, verts_T)
+
+            @staticmethod
+            def compact(out):
+                from .geometry.marching_tets import compact_mesh_soa
+                return compact_mesh_soa(*out)
+
+        return _BoundSoA()
+
     arr_fields = ('verts', 'indices', 'unique_edges', 'tet_edge_to_unique',
                   'vert_grid_coords')
     arrs = {k: jnp.asarray(getattr(tet_grid, k)) for k in arr_fields}
@@ -54,12 +99,17 @@ def make_grid_to_mesh(tet_grid: TetGrid, mesh_scale: float = 2.1,
 
     class _Bound:
         """Callable with .lower(), the table arrays pre-bound."""
+        soa = False
 
         def __call__(self, grid):
             return fn(grid, arrs)
 
         def lower(self, grid):
             return fn.lower(grid, arrs)
+
+        @staticmethod
+        def compact(out):
+            return compact_mesh(out)
 
     return _Bound()
 
@@ -84,7 +134,7 @@ def extract_grid(grid: np.ndarray, tet_grid: TetGrid, out_path: str,
     fn = _GRID_TO_MESH_CACHE[key]
     g = jnp.asarray(np.moveaxis(np.asarray(grid, np.float32), 0, -1))
     out = fn(g)
-    verts, faces = compact_mesh(out)
+    verts, faces = fn.compact(out)
     if remesh and len(faces):
         from .geometry.remesh import isotropic_remesh
         verts, faces = isotropic_remesh(verts, faces)

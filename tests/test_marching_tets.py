@@ -179,3 +179,35 @@ def test_crop_tets_drops_boundary_layer():
         assert v2[:, k].max() < v[:, k].max()
     # cropped tets span only interior cells: 6 per cell, (7-1)^3 cells
     assert len(t2) == 6 * 6 ** 3
+
+
+def test_marching_tets_soa_matches_aos(tiny_tet_grid):
+    """The structure-of-arrays path (large-grid extraction layout) yields
+    the same compacted mesh as the default path — same vertex set and the
+    same triangles with identical winding (face ORDER is a permutation)."""
+    from meshdiffusion_tpu.geometry.marching_tets import (
+        compact_mesh, compact_mesh_soa, marching_tets, marching_tets_soa,
+        soa_tables)
+    tg = tiny_tet_grid
+    rng = np.random.default_rng(7)
+    sdf = (np.linalg.norm(tg.verts, axis=1) - 0.3
+           + rng.normal(0, 0.02, tg.verts.shape[0])).astype(np.float32)
+    vpos = (tg.verts + rng.normal(0, 0.005, tg.verts.shape)
+            ).astype(np.float32)
+    out = marching_tets(tg, jnp.asarray(vpos), jnp.asarray(sdf))
+    v0, f0 = compact_mesh(out)
+    soa = marching_tets_soa(soa_tables(tg),
+                            jnp.asarray(vpos.T.copy()), jnp.asarray(sdf))
+    v1, f1 = compact_mesh_soa(*soa)
+    # same vertex array (compaction order is edge order in both paths)
+    np.testing.assert_allclose(v0, v1, atol=1e-6)
+    assert f0.shape == f1.shape
+    # same triangle set with same winding, up to face-order permutation:
+    # canonicalize by rotating each face to start at its smallest index
+    def canon(f):
+        roll = np.argmin(f, axis=1)
+        rows = np.arange(f.shape[0])[:, None]
+        cols = (roll[:, None] + np.arange(3)[None, :]) % 3
+        c = f[rows, cols]
+        return c[np.lexsort(c.T[::-1])]
+    np.testing.assert_array_equal(canon(f0), canon(f1))
