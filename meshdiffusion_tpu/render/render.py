@@ -129,33 +129,54 @@ def render_layer(rast: RasterOut, mesh: Mesh, view_pos, lgt, bsdf,
     """Interpolate G-buffer attributes and shade one depth layer
     (reference render.py:146-227)."""
     faces = mesh.t_pos_idx
-    gb_pos = interpolate(mesh.v_pos, rast, faces)
-
     v0 = mesh.v_pos[faces[:, 0]]
     v1 = mesh.v_pos[faces[:, 1]]
     v2 = mesh.v_pos[faces[:, 2]]
     face_normals = utils.safe_normalize(jnp.cross(v1 - v0, v2 - v0))
-    if flat_shading or mesh.v_nrm is None:
-        safe = jnp.maximum(rast.tri_id, 0)
-        gb_normal = jnp.where(rast.valid[..., None], face_normals[safe], 0.0)
-        gb_geometric_normal = gb_normal
-    else:
-        # geometric normal = the winning face's normal (constant per face)
-        safe = jnp.maximum(rast.tri_id, 0)
+    safe = jnp.maximum(rast.tri_id, 0)
+
+    # TPU gathers dominate this pipeline (~3 ms per 262k-row gather);
+    # DMTet meshes always alias t_nrm_idx/t_tng_idx to t_pos_idx
+    # (mesh.py auto_normals/compute_tangents), so the pos/normal/tangent
+    # interpolations collapse into ONE gather of a concatenated
+    # attribute table — and one scatter in the backward pass.
+    fused = (not flat_shading and mesh.v_nrm is not None
+             and mesh.t_nrm_idx is faces
+             and (mesh.v_tng is None or mesh.t_tng_idx is faces))
+    if fused:
+        parts = [mesh.v_pos, mesh.v_nrm]
+        if mesh.v_tng is not None:
+            parts.append(mesh.v_tng)
+        gb = interpolate(jnp.concatenate(parts, axis=1), rast, faces)
+        gb_pos = gb[..., 0:3]
+        gb_normal = gb[..., 3:6]
+        gb_tangent = gb[..., 6:9] if mesh.v_tng is not None else None
         gb_geometric_normal = jnp.where(rast.valid[..., None],
                                         face_normals[safe], 0.0)
-        gb_normal = interpolate(mesh.v_nrm, rast, mesh.t_nrm_idx)
-
-    gb_tangent = (interpolate(mesh.v_tng, rast, mesh.t_tng_idx)
-                  if mesh.v_tng is not None else None)
+    else:
+        gb_pos = interpolate(mesh.v_pos, rast, faces)
+        if flat_shading or mesh.v_nrm is None:
+            gb_normal = jnp.where(rast.valid[..., None],
+                                  face_normals[safe], 0.0)
+            gb_geometric_normal = gb_normal
+        else:
+            # geometric normal = the winning face's normal (per face)
+            gb_geometric_normal = jnp.where(rast.valid[..., None],
+                                            face_normals[safe], 0.0)
+            gb_normal = interpolate(mesh.v_nrm, rast, mesh.t_nrm_idx)
+        gb_tangent = (interpolate(mesh.v_tng, rast, mesh.t_tng_idx)
+                      if mesh.v_tng is not None else None)
     gb_texc, gb_texc_deriv = None, None
 
     buffers = shade(gb_pos, gb_geometric_normal, gb_normal, gb_tangent,
                     gb_texc, gb_texc_deriv, view_pos, lgt, mesh.material,
                     bsdf, xfm_lgt=xfm_lgt, rng=rng)
 
-    mask_cont = interpolate(jnp.ones_like(mesh.v_pos[:, :1]), rast, faces)
-    buffers['mask'] = (mask_cont > 0).astype(jnp.float32)
+    # interpolate(ones) is identically the coverage mask: the
+    # perspective-correct barycentrics are normalized to sum to 1
+    # (rasterize._barycentrics), and interpolate zeroes invalid pixels
+    mask_cont = rast.valid[..., None].astype(jnp.float32)
+    buffers['mask'] = mask_cont
     buffers['mask_cont'] = mask_cont
     return buffers
 
