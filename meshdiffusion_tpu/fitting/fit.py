@@ -98,6 +98,9 @@ class FitConfig:
     raster_K: int = 256
     raster_Kg: int = 64            # global big-triangle list capacity
     antialias: bool = True     # analytic edge AA (dr.antialias equivalent)
+    # compacted-AA silhouette-pair budget; None = B*(H+W)*8 heuristic.
+    # The driver grows it on aa_overflow like raster_K.
+    aa_budget: Optional[int] = None
     save_baked: bool = False   # UV-unwrap + bake MLP material after pass 2
     surface_samples: int = 50000
     # pre-rendered GT view-batch pool (TargetRenderer.target_pool): the
@@ -197,11 +200,13 @@ def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
                 state, init_v_pos, material, lgt, tgt,
                 iteration, key, image_loss_fn, mesh_edges,
                 raster_K=cfg.raster_K, raster_Kg=cfg.raster_Kg,
-                aa=cfg.antialias)
+                aa=cfg.antialias, aa_budget=cfg.aa_budget)
         overflow = bufs.get('raster_overflow', jnp.zeros((), jnp.int32))
         overflow_g = bufs.get('raster_overflow_global',
                               jnp.zeros((), jnp.int32))
-        return img_loss + reg_loss, (img_loss, reg_loss, overflow, overflow_g)
+        overflow_aa = bufs.get('aa_overflow', jnp.zeros((), jnp.int32))
+        return img_loss + reg_loss, (img_loss, reg_loss, overflow,
+                                     overflow_g, overflow_aa)
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
 
@@ -210,7 +215,7 @@ def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
         geo_leaves = {'sdf': state.sdf, 'deform': state.deform}
         target = dict(target)
         target['_state'] = state
-        (total, (img_loss, reg_loss, overflow, overflow_g)), \
+        (total, (img_loss, reg_loss, overflow, overflow_g, overflow_aa)), \
             (g_geo, g_mat, g_lgt) = grad_fn(
                 geo_leaves, mat_params, light_base, target, iteration, key)
 
@@ -241,7 +246,8 @@ def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
         state = fitter.update_ema(state)
         metrics = {'img_loss': img_loss, 'reg_loss': reg_loss, 'total': total,
                    'raster_overflow': overflow,
-                   'raster_overflow_global': overflow_g}
+                   'raster_overflow_global': overflow_g,
+                   'aa_overflow': overflow_aa}
         return (state, mat_params, light_base, opt_geo, opt_mat, opt_lgt,
                 metrics)
 
@@ -362,6 +368,20 @@ def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
                                    pass_cfg.raster_Kg, newKg)
                     pass_cfg = dataclasses.replace(pass_cfg, raster_Kg=newKg)
                     grew = True
+            aa_over = int(metrics.get('aa_overflow', 0))
+            if aa_over > 0:
+                B = pass_cfg.batch
+                H, W = pass_cfg.train_res
+                cur = pass_cfg.aa_budget or B * (H + W) * 8
+                new_budget = cur * 2
+                while new_budget < cur + aa_over:
+                    new_budget *= 2
+                logger.warning('AA silhouette-pair overflow %d at pass%d '
+                               'iter=%d: aa_budget %d -> %d (re-jit)',
+                               aa_over, pass_idx, it, cur, new_budget)
+                pass_cfg = dataclasses.replace(pass_cfg,
+                                               aa_budget=new_budget)
+                grew = True
             if grew:
                 step, _, _, _ = make_fit_step(fitter, pass_cfg, renderer,
                                               mat_module, pass_idx,

@@ -139,7 +139,8 @@ class DMTetFitter:
              iteration: jnp.ndarray, key: jax.Array, image_loss_fn,
              no_depth_thin: bool = True, raster_K: int = 256,
              raster_Kg: int = 64,
-             aa: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+             aa: bool = True, aa_budget=None
+             ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
         m = self.get_mesh(state, material)
         res = (target['img'].shape[1], target['img'].shape[2])
         key_shade, key_pts = jax.random.split(key)
@@ -149,7 +150,7 @@ class DMTetFitter:
                               xfm_lgt=target.get('envlight_transform'),
                               rng=key_shade, raster_K=raster_K,
                               raster_Kg=raster_Kg, aa=aa,
-                              remat=True)
+                              aa_budget=aa_budget, remat=True)
 
         t_iter = iteration / self.total_iter
 
@@ -225,7 +226,8 @@ class FixedTopoFitter(DMTetFitter):
     def tick_fixed(self, state: FitState, init_v_pos: jnp.ndarray, material,
                    lgt, target: Dict, iteration: jnp.ndarray, key: jax.Array,
                    image_loss_fn, mesh_edges: jnp.ndarray,
-                   raster_K: int = 256, raster_Kg: int = 64, aa: bool = True):
+                   raster_K: int = 256, raster_Kg: int = 64,
+                   aa: bool = True, aa_budget=None):
         m = self.get_mesh(state, material)
         res = (target['img'].shape[1], target['img'].shape[2])
         key_shade, key_pts = jax.random.split(key)
@@ -235,7 +237,7 @@ class FixedTopoFitter(DMTetFitter):
                               xfm_lgt=target.get('envlight_transform'),
                               rng=key_shade, raster_K=raster_K,
                               raster_Kg=raster_Kg, aa=aa,
-                              remat=True)
+                              aa_budget=aa_budget, remat=True)
 
         t_iter = iteration / self.total_iter
         color_ref = target['img']
