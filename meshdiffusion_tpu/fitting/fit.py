@@ -101,6 +101,8 @@ class FitConfig:
     # compacted-AA silhouette-pair budget; None = B*(H+W)*8 heuristic.
     # The driver grows it on aa_overflow like raster_K.
     aa_budget: Optional[int] = None
+    # pre-binning live-face compaction capacity (rasterize_select)
+    raster_live: int = 65536
     save_baked: bool = False   # UV-unwrap + bake MLP material after pass 2
     surface_samples: int = 50000
     # pre-rendered GT view-batch pool (TargetRenderer.target_pool): the
@@ -200,13 +202,17 @@ def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
                 state, init_v_pos, material, lgt, tgt,
                 iteration, key, image_loss_fn, mesh_edges,
                 raster_K=cfg.raster_K, raster_Kg=cfg.raster_Kg,
-                aa=cfg.antialias, aa_budget=cfg.aa_budget)
+                aa=cfg.antialias, aa_budget=cfg.aa_budget,
+                raster_live=cfg.raster_live)
         overflow = bufs.get('raster_overflow', jnp.zeros((), jnp.int32))
         overflow_g = bufs.get('raster_overflow_global',
                               jnp.zeros((), jnp.int32))
         overflow_aa = bufs.get('aa_overflow', jnp.zeros((), jnp.int32))
+        overflow_live = bufs.get('raster_overflow_live',
+                                 jnp.zeros((), jnp.int32))
         return img_loss + reg_loss, (img_loss, reg_loss, overflow,
-                                     overflow_g, overflow_aa)
+                                     overflow_g, overflow_aa,
+                                     overflow_live)
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
 
@@ -215,7 +221,8 @@ def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
         geo_leaves = {'sdf': state.sdf, 'deform': state.deform}
         target = dict(target)
         target['_state'] = state
-        (total, (img_loss, reg_loss, overflow, overflow_g, overflow_aa)), \
+        (total, (img_loss, reg_loss, overflow, overflow_g, overflow_aa,
+                 overflow_live)), \
             (g_geo, g_mat, g_lgt) = grad_fn(
                 geo_leaves, mat_params, light_base, target, iteration, key)
 
@@ -247,7 +254,8 @@ def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
         metrics = {'img_loss': img_loss, 'reg_loss': reg_loss, 'total': total,
                    'raster_overflow': overflow,
                    'raster_overflow_global': overflow_g,
-                   'aa_overflow': overflow_aa}
+                   'aa_overflow': overflow_aa,
+                   'raster_overflow_live': overflow_live}
         return (state, mat_params, light_base, opt_geo, opt_mat, opt_lgt,
                 metrics)
 
@@ -368,6 +376,18 @@ def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
                                    pass_cfg.raster_Kg, newKg)
                     pass_cfg = dataclasses.replace(pass_cfg, raster_Kg=newKg)
                     grew = True
+            live_over = int(metrics.get('raster_overflow_live', 0))
+            if live_over > 0:
+                cur = pass_cfg.raster_live
+                new_live = cur
+                while new_live < cur + live_over:
+                    new_live *= 2
+                logger.warning('live-face compaction overflow %d at pass%d '
+                               'iter=%d: raster_live %d -> %d (re-jit)',
+                               live_over, pass_idx, it, cur, new_live)
+                pass_cfg = dataclasses.replace(pass_cfg,
+                                               raster_live=new_live)
+                grew = True
             aa_over = int(metrics.get('aa_overflow', 0))
             if aa_over > 0:
                 B = pass_cfg.batch

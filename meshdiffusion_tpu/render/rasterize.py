@@ -302,15 +302,22 @@ def _barycentrics(v_clip, faces, tri_id, res):
 def rasterize_select(v_clip: jnp.ndarray, faces: jnp.ndarray,
                      res: Tuple[int, int],
                      face_mask: Optional[jnp.ndarray] = None,
-                     num_layers: int = 1, K: int = 256, Kg: int = 64):
+                     num_layers: int = 1, K: int = 256, Kg: int = 64,
+                     live_cap: int = 65536):
     """The NON-differentiable half of rasterization: binning + per-tile
     z-min candidate test, depth-peeled over ``num_layers``.
 
     Returns (tri_imgs (L, H, W) int32, tile_overflow (), global_overflow
-    ()). Split from :func:`rasterize_apply` so callers can keep triangle
-    selection OUTSIDE a jax.checkpoint region — the fit step's remat
-    otherwise re-runs binning + the z-test in the backward pass even
-    though the selection is wrapped in stop_gradient.
+    (), live_overflow ()). Split from :func:`rasterize_apply` so callers
+    can keep triangle selection OUTSIDE a jax.checkpoint region — the fit
+    step's remat otherwise re-runs binning + the z-test in the backward
+    pass even though the selection is wrapped in stop_gradient.
+
+    When the face list is bigger than ``live_cap`` (the marching-tets
+    static list is ~318k slots of which ~20k are live), live faces are
+    compacted into ``live_cap`` slots first, so the binning sort and
+    coordinate gathers run at live scale, not padded scale. Dropped live
+    faces are counted in live_overflow (callers grow live_cap like K).
     """
     faces = faces.astype(jnp.int32)
     F = faces.shape[0]
@@ -318,9 +325,6 @@ def rasterize_select(v_clip: jnp.ndarray, faces: jnp.ndarray,
         face_mask = jnp.ones((F,), bool)
 
     x, y, z, inv_w = _screen_coords(jax.lax.stop_gradient(v_clip), res)
-    xs = jnp.stack([x[faces[:, 0]], x[faces[:, 1]], x[faces[:, 2]]], axis=1)
-    ys = jnp.stack([y[faces[:, 0]], y[faces[:, 1]], y[faces[:, 2]]], axis=1)
-    zs = jnp.stack([z[faces[:, 0]], z[faces[:, 1]], z[faces[:, 2]]], axis=1)
 
     # behind-camera triangles are dropped (no near-plane clipping; DMTet
     # objects are fully in front of the reference cameras)
@@ -328,8 +332,27 @@ def rasterize_select(v_clip: jnp.ndarray, faces: jnp.ndarray,
     face_ok = face_mask & jnp.all(jax.lax.stop_gradient(wall) > 1e-6,
                                   axis=1)
 
+    if F > live_cap:
+        pos = jnp.cumsum(face_ok.astype(jnp.int32)) - 1
+        slot = jnp.where(face_ok & (pos < live_cap), pos, live_cap)
+        sel = jnp.full((live_cap,), -1, jnp.int32).at[slot].set(
+            jnp.arange(F, dtype=jnp.int32), mode='drop',
+            unique_indices=True)
+        live_over = jnp.maximum(pos[-1] + 1 - live_cap, 0)
+        fb = faces[jnp.maximum(sel, 0)]                  # (L, 3)
+        face_ok_b = sel >= 0
+    else:
+        sel = None
+        live_over = jnp.zeros((), jnp.int32)
+        fb = faces
+        face_ok_b = face_ok
+
+    xs = jnp.stack([x[fb[:, 0]], x[fb[:, 1]], x[fb[:, 2]]], axis=1)
+    ys = jnp.stack([y[fb[:, 0]], y[fb[:, 1]], y[fb[:, 2]]], axis=1)
+    zs = jnp.stack([z[fb[:, 0]], z[fb[:, 1]], z[fb[:, 2]]], axis=1)
+
     tile_tris, tile_counts, global_tris, global_count = bin_triangles(
-        xs, ys, face_ok, res, K, Kg)
+        xs, ys, face_ok_b, res, K, Kg)
     # every tile also tests the (rare) triangles too big for SPAN binning
     T = tile_tris.shape[0]
     Kg = global_tris.shape[0]            # bin_triangles clamps Kg to F
@@ -349,10 +372,16 @@ def rasterize_select(v_clip: jnp.ndarray, faces: jnp.ndarray,
     z_floor = None
     for _ in range(num_layers):
         tri_img, z_img = _rasterize_tiles(cand, tile_tris, res, z_floor)
-        tri_imgs.append(tri_img)
+        if sel is not None:
+            # map compacted ids back to the original face list
+            tri_orig = jnp.where(tri_img >= 0,
+                                 sel[jnp.maximum(tri_img, 0)], -1)
+        else:
+            tri_orig = tri_img
+        tri_imgs.append(tri_orig)
         z_floor = jnp.where(tri_img >= 0, z_img, BIG)
     return (jax.lax.stop_gradient(jnp.stack(tri_imgs)), tile_over,
-            global_over)
+            global_over, live_over)
 
 
 def rasterize_apply(v_clip: jnp.ndarray, faces: jnp.ndarray,
@@ -381,14 +410,17 @@ def rasterize_apply(v_clip: jnp.ndarray, faces: jnp.ndarray,
 
 def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
               res: Tuple[int, int], face_mask: Optional[jnp.ndarray] = None,
-              num_layers: int = 1, K: int = 256, Kg: int = 64):
+              num_layers: int = 1, K: int = 256, Kg: int = 64,
+              live_cap: int = 65536):
     """Rasterize one mesh. Returns a list of ``num_layers`` RasterOut
     (depth-peeled far layers test strictly greater z, reference
     render.py:290-297)."""
-    tri_imgs, tile_over, global_over = rasterize_select(
-        v_clip, faces, res, face_mask, num_layers, K, Kg)
-    return rasterize_apply(v_clip, faces, tri_imgs, res, tile_over,
-                           global_over)
+    tri_imgs, tile_over, global_over, live_over = rasterize_select(
+        v_clip, faces, res, face_mask, num_layers, K, Kg, live_cap)
+    # live overflow folds into the per-tile counter here (standalone
+    # callers see one "grow capacity" signal); render_mesh keeps them apart
+    return rasterize_apply(v_clip, faces, tri_imgs, res,
+                           tile_over + live_over, global_over)
 
 
 def interpolate(attr: jnp.ndarray, rast: RasterOut, faces: jnp.ndarray

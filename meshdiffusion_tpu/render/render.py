@@ -188,7 +188,7 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
                 xfm_lgt=None, tet_centers: Optional[jnp.ndarray] = None,
                 rng: Optional[jax.Array] = None, flat_shading: bool = False,
                 raster_K: int = 256, raster_Kg: int = 64, aa: bool = True,
-                aa_budget: Optional[int] = None,
+                aa_budget: Optional[int] = None, raster_live: int = 65536,
                 remat: bool = False) -> Dict[str, jnp.ndarray]:
     """Two-layer depth-peeled render of a camera batch
     (reference render.py:235-409).
@@ -212,11 +212,12 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
     # pass (which jax.checkpoint(one_view) did) would double its cost; the
     # checkpointed body receives the small (L, H, W) int selections as
     # saved inputs instead.
-    tri_sel, tile_over, global_over = jax.vmap(
+    tri_sel, tile_over, global_over, live_over = jax.vmap(
         lambda vc: rasterize_select(vc, mesh.t_pos_idx, full_res,
                                     face_mask=mesh.face_mask,
                                     num_layers=num_layers,
-                                    K=raster_K, Kg=raster_Kg))(v_clip)
+                                    K=raster_K, Kg=raster_Kg,
+                                    live_cap=raster_live))(v_clip)
 
     def one_view(v_clip_b, tri_sel_b, view_pos_b, rng_b):
         layers = rasterize_apply(v_clip_b, mesh.t_pos_idx, tri_sel_b,
@@ -314,6 +315,8 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
     # views; the fit driver watches these and re-jits with a larger capacity
     out['raster_overflow'] = jnp.max(tile_over)
     out['raster_overflow_global'] = jnp.max(global_over)
+    # live faces dropped by the pre-binning compaction (grow raster_live)
+    out['raster_overflow_live'] = jnp.max(live_over)
     # silhouette pairs dropped by the compacted AA pass (grow aa_budget)
     out['aa_overflow'] = (jnp.max(jnp.stack(aa_overflows))
                           if aa_overflows else jnp.zeros((), jnp.int32))
