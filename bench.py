@@ -117,6 +117,20 @@ def main():
         meshes.append(g2m.compact(mt))   # np.asarray inside forces sync
     t_extract = time.perf_counter() - t0
 
+    save_dir = os.environ.get('BENCH_SAVE_DIR')
+    if save_dir:
+        import json as _json
+        from meshdiffusion_tpu.geometry.obj_io import write_obj
+        os.makedirs(save_dir, exist_ok=True)
+        stats = []
+        for i, (v, f) in enumerate(meshes):
+            write_obj(os.path.join(save_dir, f'{cfg_name}_{i}.obj'), v, f)
+            stats.append({'verts': int(v.shape[0]), 'faces': int(f.shape[0])})
+        with open(os.path.join(save_dir, 'stats.json'), 'w') as fh:
+            _json.dump({'config': cfg_name, 'steps': steps, 'meshes': stats},
+                       fh, indent=1)
+        log(f'bench: saved {len(meshes)} meshes to {save_dir}')
+
     total = t_sample + t_extract
     meshes_per_min = batch / total * 60.0
     sec_per_mesh = total / batch
