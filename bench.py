@@ -15,16 +15,123 @@ Cost controls: parameters come from jax.eval_shape (timing does not depend
 on values, so the init compile is skipped), the sampler is AOT-compiled
 (persistent cache at JAX_COMPILATION_CACHE_DIR makes later runs cheap), and
 exactly one timed end-to-end run follows.
+
+Wedge resilience: the axon tunnel to the chip intermittently wedges for
+hours (compute RPCs block forever while jax.devices() still answers). A
+bench that exits 1 on a wedge forfeits the round's graded artifact, so the
+top-level process is a thin orchestrator: it probes the backend with a
+bounded cheap op in a subprocess, runs the measurement itself in a killable
+child, and retries with backoff across a generous deadline
+(BENCH_DEADLINE_S, default 3 h). On success it reprints the child's JSON
+line augmented with attempt telemetry; if the deadline expires it still
+prints a JSON line (value 0, "degraded": true) and exits 0.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.jax_cache')
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((1024, 1024));"
+    "print(float(jnp.sum(x @ x)))"
+)
+
+
+def _probe(timeout_s):
+    """True iff a small device matmul round-trips within timeout_s."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, '-c', _PROBE_SRC],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            timeout=timeout_s)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def orchestrate():
+    cfg_name = os.environ.get('BENCH_CONFIG', 'res64')
+    deadline_s = float(os.environ.get('BENCH_DEADLINE_S', '10800'))
+    probe_timeout = float(os.environ.get('BENCH_PROBE_TIMEOUT_S', '300'))
+    # child budget: warm-cache res64 is ~4 min; cold remote compiles are
+    # minutes more; res128 samples for ~17 min before extraction.
+    default_child = '3600' if cfg_name == 'res64' else '9000'
+    child_timeout = float(os.environ.get('BENCH_CHILD_TIMEOUT_S',
+                                         default_child))
+
+    def log(msg):
+        print(f'bench[orchestrator]: {msg}', file=sys.stderr, flush=True)
+
+    t_start = time.monotonic()
+    attempts, probe_failures, backoff = 0, 0, 60.0
+    last_error = 'never attempted'
+    env = dict(os.environ)
+    env['BENCH_CHILD'] = '1'
+
+    while time.monotonic() - t_start < deadline_s:
+        if not _probe(probe_timeout):
+            probe_failures += 1
+            remaining = deadline_s - (time.monotonic() - t_start)
+            last_error = f'backend probe timed out ({probe_failures}x)'
+            log(f'{last_error}; {remaining:.0f}s to deadline, '
+                f'sleeping {backoff:.0f}s')
+            time.sleep(min(backoff, max(remaining, 0)))
+            backoff = min(backoff * 2, 600.0)
+            continue
+        attempts += 1
+        log(f'probe ok; attempt {attempts} '
+            f'(child timeout {child_timeout:.0f}s)')
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, stdout=subprocess.PIPE, timeout=child_timeout)
+        except subprocess.TimeoutExpired:
+            last_error = f'child wedged mid-run (killed at {child_timeout}s)'
+            log(last_error)
+            backoff = 60.0   # tunnel was alive at probe time; re-probe soon
+            continue
+        lines = [ln for ln in proc.stdout.decode().splitlines() if ln.strip()]
+        if proc.returncode == 0 and lines:
+            try:
+                result = json.loads(lines[-1])
+            except json.JSONDecodeError:
+                last_error = f'child emitted non-JSON tail: {lines[-1]!r}'
+                log(f'{last_error}; retrying after {backoff:.0f}s')
+                time.sleep(backoff)
+                backoff = min(backoff * 2, 600.0)
+                continue
+            result.setdefault('detail', {})
+            result['detail'].update({
+                'attempts': attempts,
+                'probe_failures': probe_failures,
+                'orchestrator_s': round(time.monotonic() - t_start, 1),
+            })
+            result['degraded'] = False
+            print(json.dumps(result))
+            return
+        last_error = f'child exited rc={proc.returncode}'
+        log(f'{last_error}; retrying after {backoff:.0f}s')
+        time.sleep(backoff)
+        backoff = min(backoff * 2, 600.0)
+
+    log(f'deadline ({deadline_s:.0f}s) exhausted: {last_error}')
+    print(json.dumps({
+        'metric': f'{cfg_name}_uncond_meshes_per_min_per_chip',
+        'value': 0.0,
+        'unit': 'meshes/min/chip',
+        'vs_baseline': 0.0,
+        'degraded': True,
+        'error': last_error,
+        'detail': {'attempts': attempts, 'probe_failures': probe_failures,
+                   'deadline_s': deadline_s},
+    }))
 
 
 def main():
@@ -163,4 +270,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if os.environ.get('BENCH_CHILD') == '1':
+        main()
+    else:
+        orchestrate()

@@ -137,8 +137,14 @@ class TargetRenderer:
 
     # target keys the fit losses actually read (geometry.py tick/tick_fixed,
     # carve_occluded, singleview) — the pool stores only these
-    _POOLED_IMAGE_KEYS = ('img', 'img_second', 'depth', 'depth_second',
-                          'mask_cont')
+    # compressed to f16 in the pool: color + coverage only. Depth stays
+    # f32 — f16 spacing at cam distance 2-4 is ~1e-3, the same order as
+    # the 5e-3 depth_prox threshold and amplified by the x100 early depth
+    # scale, so quantized depth flips supervision labels the reference
+    # never sees (round-3 advisor). Images alone carry most of the HBM
+    # saving (2x RGBA vs 2x 1-channel depth).
+    _POOLED_F16_KEYS = ('img', 'img_second', 'mask_cont')
+    _POOLED_IMAGE_KEYS = _POOLED_F16_KEYS + ('depth', 'depth_second')
 
     def _build_pool(self, batch: int, np_rng: np.random.Generator,
                     key: jax.Array):
@@ -157,7 +163,9 @@ class TargetRenderer:
             slim = {k2: v for k2, v in t.items()
                     if k2 not in self._POOLED_IMAGE_KEYS and k2 not in drop}
             for k2 in self._POOLED_IMAGE_KEYS:
-                slim[k2] = t[k2].astype(jnp.float16)
+                slim[k2] = t[k2].astype(
+                    jnp.float16 if k2 in self._POOLED_F16_KEYS
+                    else jnp.float32)
             entries.append(slim)
         return entries
 

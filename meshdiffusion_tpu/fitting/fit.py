@@ -378,16 +378,29 @@ def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
                     grew = True
             live_over = int(metrics.get('raster_overflow_live', 0))
             if live_over > 0:
+                # hard cap below 2^24: the Pallas z-test carries compacted
+                # face ids as f32 lanes (exact only to 2^24); rasterize
+                # also skips compaction entirely once live_cap >= F, so
+                # unbounded growth is never needed (advisor round 3).
+                cap = 2 ** 23
                 cur = pass_cfg.raster_live
-                new_live = cur
-                while new_live < cur + live_over:
-                    new_live *= 2
-                logger.warning('live-face compaction overflow %d at pass%d '
-                               'iter=%d: raster_live %d -> %d (re-jit)',
-                               live_over, pass_idx, it, cur, new_live)
-                pass_cfg = dataclasses.replace(pass_cfg,
-                                               raster_live=new_live)
-                grew = True
+                if cur >= cap:
+                    logger.error('raster_live at cap %d yet %d live faces '
+                                 'dropped at pass%d iter=%d; continuing '
+                                 'with clipped rasterization', cap,
+                                 live_over, pass_idx, it)
+                else:
+                    new_live = cur
+                    while new_live < cur + live_over:
+                        new_live *= 2
+                    new_live = min(new_live, cap)
+                    logger.warning('live-face compaction overflow %d at '
+                                   'pass%d iter=%d: raster_live %d -> %d '
+                                   '(re-jit)', live_over, pass_idx, it,
+                                   cur, new_live)
+                    pass_cfg = dataclasses.replace(pass_cfg,
+                                                   raster_live=new_live)
+                    grew = True
             aa_over = int(metrics.get('aa_overflow', 0))
             if aa_over > 0:
                 B = pass_cfg.batch
@@ -414,7 +427,9 @@ def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
         # been dispatched — by then the producing step has retired, so the
         # int() conversions never block async dispatch (round-2 advisor).
         # Capacity growth is a rare startup event; on detection we roll back
-        # to the snapshot and redo, so no kept iteration trained clipped.
+        # to the snapshot and redo, so no kept iteration trained clipped —
+        # except when a capacity has hit its hard cap, where the clipped
+        # iteration is kept and an error is logged.
         pending = None
         while True:
             if it >= cfg.iter:
@@ -436,13 +451,17 @@ def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
                  key, it) = pending[0]
                 pending = None
                 continue
+            prev = pending
             (state, mat_params, light_base, opt_geo, opt_mat, opt_lgt,
              metrics) = new
             pending = (saved, metrics)
-            if it % cfg.log_interval == 0:
-                logger.info('pass%d iter=%5d img=%.6f reg=%.6f', pass_idx, it,
-                            float(metrics['img_loss']),
-                            float(metrics['reg_loss']))
+            # log the PREVIOUS step's metrics: grow_capacity already forced
+            # them to the host, so float() here is free; logging the fresh
+            # ones would sync the just-dispatched step (round-3 advisor)
+            if prev is not None and (it - 1) % cfg.log_interval == 0:
+                logger.info('pass%d iter=%5d img=%.6f reg=%.6f', pass_idx,
+                            it - 1, float(prev[1]['img_loss']),
+                            float(prev[1]['reg_loss']))
             it += 1
         return state, mat_params, light_base
 

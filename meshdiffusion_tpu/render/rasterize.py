@@ -347,6 +347,9 @@ def rasterize_select(v_clip: jnp.ndarray, faces: jnp.ndarray,
         fb = faces
         face_ok_b = face_ok
 
+    # the Pallas z-test carries these face ids as f32 lanes — exact only
+    # up to 2^24 (ops/tile_raster.py packs tid at lane 9)
+    assert fb.shape[0] < 2 ** 24, fb.shape
     xs = jnp.stack([x[fb[:, 0]], x[fb[:, 1]], x[fb[:, 2]]], axis=1)
     ys = jnp.stack([y[fb[:, 0]], y[fb[:, 1]], y[fb[:, 2]]], axis=1)
     zs = jnp.stack([z[fb[:, 0]], z[fb[:, 1]], z[fb[:, 2]]], axis=1)

@@ -387,7 +387,12 @@ def render_uv(mesh: Mesh, resolution, mlp_texture):
     uv_clip4 = jnp.concatenate(
         [uv_clip, jnp.zeros_like(uv_clip[..., :1]),
          jnp.ones_like(uv_clip[..., :1])], axis=-1)
-    rast = rasterize(uv_clip4, mesh.t_tex_idx, resolution)[0]
+    # live_cap >= F disables the pre-binning live-face compaction: the bake
+    # has no driver watching live_overflow, and 128-grid meshes routinely
+    # exceed the fit path's default budget — a silent drop here would bake
+    # an atlas with missing charts.
+    rast = rasterize(uv_clip4, mesh.t_tex_idx, resolution,
+                     live_cap=int(mesh.t_tex_idx.shape[0]))[0]
     gb_pos = interpolate(mesh.v_pos, rast, mesh.t_pos_idx)
     all_tex = mlp_texture.sample(gb_pos)
     mask = rast.valid[..., None].astype(jnp.float32)
