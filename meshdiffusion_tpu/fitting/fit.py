@@ -103,6 +103,11 @@ class FitConfig:
     aa_budget: Optional[int] = None
     # pre-binning live-face compaction capacity (rasterize_select)
     raster_live: int = 65536
+    # covered-pixel compaction for the shading chain (render_mesh
+    # shade_cap): -1 = auto (H*W // 4), 0 = dense, >0 explicit cap.
+    # The driver grows it on shade_overflow (hard ceiling H*W, where the
+    # compact path covers every pixel).
+    shade_cap: int = -1
     save_baked: bool = False   # UV-unwrap + bake MLP material after pass 2
     surface_samples: int = 50000
     # pre-rendered GT view-batch pool (TargetRenderer.target_pool): the
@@ -192,27 +197,33 @@ def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
         else:
             lgt = renderer.envlight
         tgt = {k: v for k, v in target.items() if not k.startswith('_')}
+        H, W = cfg.train_res
+        cap = (None if cfg.shade_cap == 0
+               else (H * W // 4 if cfg.shade_cap < 0
+                     else min(cfg.shade_cap, H * W)))
         if pass_idx == 0:
             img_loss, reg_loss, bufs = fitter.tick(
                 state, material, lgt, tgt, iteration, key,
                 image_loss_fn, raster_K=cfg.raster_K, raster_Kg=cfg.raster_Kg,
-                aa=cfg.antialias)
+                aa=cfg.antialias, shade_cap=cap)
         else:
             img_loss, reg_loss, bufs = fitter.tick_fixed(
                 state, init_v_pos, material, lgt, tgt,
                 iteration, key, image_loss_fn, mesh_edges,
                 raster_K=cfg.raster_K, raster_Kg=cfg.raster_Kg,
                 aa=cfg.antialias, aa_budget=cfg.aa_budget,
-                raster_live=cfg.raster_live)
+                raster_live=cfg.raster_live, shade_cap=cap)
         overflow = bufs.get('raster_overflow', jnp.zeros((), jnp.int32))
         overflow_g = bufs.get('raster_overflow_global',
                               jnp.zeros((), jnp.int32))
         overflow_aa = bufs.get('aa_overflow', jnp.zeros((), jnp.int32))
         overflow_live = bufs.get('raster_overflow_live',
                                  jnp.zeros((), jnp.int32))
+        overflow_shade = bufs.get('shade_overflow',
+                                  jnp.zeros((), jnp.int32))
         return img_loss + reg_loss, (img_loss, reg_loss, overflow,
                                      overflow_g, overflow_aa,
-                                     overflow_live)
+                                     overflow_live, overflow_shade)
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
 
@@ -222,7 +233,7 @@ def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
         target = dict(target)
         target['_state'] = state
         (total, (img_loss, reg_loss, overflow, overflow_g, overflow_aa,
-                 overflow_live)), \
+                 overflow_live, overflow_shade)), \
             (g_geo, g_mat, g_lgt) = grad_fn(
                 geo_leaves, mat_params, light_base, target, iteration, key)
 
@@ -255,7 +266,8 @@ def make_fit_step(fitter: DMTetFitter, cfg: FitConfig, renderer: TargetRenderer,
                    'raster_overflow': overflow,
                    'raster_overflow_global': overflow_g,
                    'aa_overflow': overflow_aa,
-                   'raster_overflow_live': overflow_live}
+                   'raster_overflow_live': overflow_live,
+                   'shade_overflow': overflow_shade}
         return (state, mat_params, light_base, opt_geo, opt_mat, opt_lgt,
                 metrics)
 
@@ -401,6 +413,22 @@ def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
                     pass_cfg = dataclasses.replace(pass_cfg,
                                                    raster_live=new_live)
                     grew = True
+            shade_over = int(metrics.get('shade_overflow', 0))
+            if shade_over > 0:
+                H, W = pass_cfg.train_res
+                cur = (H * W // 4 if pass_cfg.shade_cap < 0
+                       else pass_cfg.shade_cap)
+                # ceiling H*W: the compact path then holds every pixel, so
+                # overflow is structurally impossible (count <= H*W)
+                new_cap = cur
+                while new_cap < cur + shade_over:
+                    new_cap *= 2
+                new_cap = min(new_cap, H * W)
+                logger.warning('shading-compaction overflow %d at pass%d '
+                               'iter=%d: shade_cap %d -> %d (re-jit)',
+                               shade_over, pass_idx, it, cur, new_cap)
+                pass_cfg = dataclasses.replace(pass_cfg, shade_cap=new_cap)
+                grew = True
             aa_over = int(metrics.get('aa_overflow', 0))
             if aa_over > 0:
                 B = pass_cfg.batch

@@ -139,8 +139,8 @@ class DMTetFitter:
              iteration: jnp.ndarray, key: jax.Array, image_loss_fn,
              no_depth_thin: bool = True, raster_K: int = 256,
              raster_Kg: int = 64,
-             aa: bool = True, aa_budget=None, raster_live: int = 65536
-             ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+             aa: bool = True, aa_budget=None, raster_live: int = 65536,
+             shade_cap=None) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
         m = self.get_mesh(state, material)
         res = (target['img'].shape[1], target['img'].shape[2])
         key_shade, key_pts = jax.random.split(key)
@@ -151,7 +151,7 @@ class DMTetFitter:
                               rng=key_shade, raster_K=raster_K,
                               raster_Kg=raster_Kg, aa=aa,
                               aa_budget=aa_budget, raster_live=raster_live,
-                              remat=True)
+                              remat=True, shade_cap=shade_cap)
 
         t_iter = iteration / self.total_iter
 
@@ -228,7 +228,8 @@ class FixedTopoFitter(DMTetFitter):
                    lgt, target: Dict, iteration: jnp.ndarray, key: jax.Array,
                    image_loss_fn, mesh_edges: jnp.ndarray,
                    raster_K: int = 256, raster_Kg: int = 64,
-                   aa: bool = True, aa_budget=None, raster_live: int = 65536):
+                   aa: bool = True, aa_budget=None, raster_live: int = 65536,
+                   shade_cap=None):
         m = self.get_mesh(state, material)
         res = (target['img'].shape[1], target['img'].shape[2])
         key_shade, key_pts = jax.random.split(key)
@@ -239,7 +240,7 @@ class FixedTopoFitter(DMTetFitter):
                               rng=key_shade, raster_K=raster_K,
                               raster_Kg=raster_Kg, aa=aa,
                               aa_budget=aa_budget, raster_live=raster_live,
-                              remat=True)
+                              remat=True, shade_cap=shade_cap)
 
         t_iter = iteration / self.total_iter
         color_ref = target['img']

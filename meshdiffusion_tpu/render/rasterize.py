@@ -270,16 +270,23 @@ def _barycentrics(v_clip, faces, tri_id, res):
     """Differentiable perspective-correct barycentrics of the (fixed) winning
     triangle at each pixel. tri_id is stop-gradient."""
     H, W = res
+    py, px = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32) + 0.5,
+                          jnp.arange(W, dtype=jnp.float32) + 0.5,
+                          indexing='ij')
+    return _barycentrics_at(v_clip, faces, tri_id, px, py, res)
+
+
+def _barycentrics_at(v_clip, faces, tri_id, px, py, res):
+    """Core of :func:`_barycentrics` at arbitrary pixel centers ``px, py``
+    (any shape matching ``tri_id``) — shared by the dense path and the
+    covered-pixel compaction path."""
     x, y, z, inv_w = _screen_coords(v_clip, res)
     safe = jnp.maximum(tri_id, 0)
-    f = faces[safe]                       # (H, W, 3)
+    f = faces[safe]                       # (..., 3)
     ax, bx, cx = x[f[..., 0]], x[f[..., 1]], x[f[..., 2]]
     ay, by, cy = y[f[..., 0]], y[f[..., 1]], y[f[..., 2]]
     iwa, iwb, iwc = inv_w[f[..., 0]], inv_w[f[..., 1]], inv_w[f[..., 2]]
 
-    py, px = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32) + 0.5,
-                          jnp.arange(W, dtype=jnp.float32) + 0.5,
-                          indexing='ij')
     w0 = _edge(bx, by, cx, cy, px, py)
     w1 = _edge(cx, cy, ax, ay, px, py)
     area = _edge(ax, ay, bx, by, cx, cy)
@@ -409,6 +416,74 @@ def rasterize_apply(v_clip: jnp.ndarray, faces: jnp.ndarray,
                                 bin_overflow=tile_over,
                                 global_overflow=global_over))
     return layers
+
+
+def compact_pixels(tri_img: jnp.ndarray, cap: int):
+    """Indices of covered pixels, fixed size (stop-gradient selection).
+
+    The shading chain (barycentrics + interpolate + BSDF + light) costs the
+    same per pixel whether or not the pixel is covered, yet fit-resolution
+    coverage is typically a small fraction of H x W. This builds a static
+    (cap,)-slot list of flattened covered-pixel indices via one cumsum + one
+    drop-scatter (no sort), so the per-pixel chain can run over ``cap``
+    pixels instead of H*W — the same idea as the silhouette-compacted AA
+    pass, applied to shading (round-3 verdict item 4).
+
+    Returns (idx (cap,) int32 into the flattened image, sel_valid (cap,)
+    bool, overflow () int32 = covered pixels dropped; grow ``cap`` and
+    re-jit on overflow, like raster_K).
+    """
+    flat = tri_img.reshape(-1)
+    covered = flat >= 0
+    pos = jnp.cumsum(covered.astype(jnp.int32)) - 1
+    tgt = jnp.where(covered & (pos < cap), pos, cap)
+    idx = jnp.zeros((cap,), jnp.int32).at[tgt].set(
+        jnp.arange(flat.shape[0], dtype=jnp.int32), mode='drop')
+    count = pos[-1] + 1
+    sel_valid = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(count, cap)
+    overflow = jnp.maximum(count - cap, 0)
+    return idx, sel_valid, overflow
+
+
+def rasterize_apply_compact(v_clip: jnp.ndarray, faces: jnp.ndarray,
+                            tri_img: jnp.ndarray, idx: jnp.ndarray,
+                            sel_valid: jnp.ndarray, res: Tuple[int, int]
+                            ) -> RasterOut:
+    """Differentiable barycentrics on a compacted covered-pixel list.
+
+    Returns a RasterOut whose fields are 1-D over the ``cap`` compact slots
+    (tri_id (P,), bary (P, 3), zbuf (P,), valid (P,)); ``interpolate`` and
+    the shading chain are shape-polymorphic over it. Exactly equal to the
+    dense path at every covered pixel; scatter back with
+    :func:`scatter_pixels`.
+    """
+    H, W = res
+    faces = faces.astype(jnp.int32)
+    flat_tri = tri_img.reshape(-1)
+    tri_c = jnp.where(sel_valid, flat_tri[idx], -1)
+    px = (idx % W).astype(jnp.float32) + 0.5
+    py = (idx // W).astype(jnp.float32) + 0.5
+    bary, zpix = _barycentrics_at(v_clip, faces, tri_c, px, py, res)
+    valid = tri_c >= 0
+    return RasterOut(tri_id=tri_c,
+                     bary=jnp.where(valid[..., None], bary, 0.0),
+                     zbuf=jnp.where(valid, zpix, BIG), valid=valid)
+
+
+def scatter_pixels(vals: jnp.ndarray, idx: jnp.ndarray,
+                   sel_valid: jnp.ndarray, res: Tuple[int, int],
+                   fill: float = 0.0) -> jnp.ndarray:
+    """(cap, C) compact per-pixel values -> dense (H, W, C), ``fill``
+    elsewhere. Differentiable (the backward is a gather)."""
+    H, W = res
+    squeeze = vals.ndim == 1
+    if squeeze:
+        vals = vals[:, None]
+    tgt = jnp.where(sel_valid, idx, H * W)
+    out = jnp.full((H * W, vals.shape[-1]), fill, vals.dtype)
+    out = out.at[tgt].set(vals, mode='drop')
+    out = out.reshape(H, W, vals.shape[-1])
+    return out[..., 0] if squeeze else out
 
 
 def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,

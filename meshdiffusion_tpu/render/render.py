@@ -27,8 +27,10 @@ from . import ops
 from . import utils
 from .light import EnvironmentLight
 from .mesh import Mesh
-from .rasterize import (RasterOut, antialias, antialias_views, interpolate,
-                        rasterize, rasterize_apply, rasterize_select)
+from .rasterize import (BIG, RasterOut, antialias, antialias_views,
+                        compact_pixels, interpolate, rasterize,
+                        rasterize_apply, rasterize_apply_compact,
+                        rasterize_select, scatter_pixels)
 from .texture import Texture2D
 
 
@@ -189,11 +191,19 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
                 rng: Optional[jax.Array] = None, flat_shading: bool = False,
                 raster_K: int = 256, raster_Kg: int = 64, aa: bool = True,
                 aa_budget: Optional[int] = None, raster_live: int = 65536,
-                remat: bool = False) -> Dict[str, jnp.ndarray]:
+                remat: bool = False, shade_cap: Optional[int] = None
+                ) -> Dict[str, jnp.ndarray]:
     """Two-layer depth-peeled render of a camera batch
     (reference render.py:235-409).
 
     mtx_in: (B, 4, 4) mvp; view_pos: (B, 3). Returns (B, H, W, C) buffers.
+
+    ``shade_cap``: when set, the per-pixel chain (barycentrics +
+    interpolate + shade) runs over a compacted list of at most ``shade_cap``
+    covered pixels per view/layer instead of dense H x W, then scatters back
+    before composite/AA — exact where coverage fits; the ``shade_overflow``
+    output counts dropped covered pixels (grow the cap and re-jit, like
+    raster_K). None = dense.
     """
     mtx_in = jnp.asarray(mtx_in, jnp.float32)
     view_pos = jnp.asarray(view_pos, jnp.float32)
@@ -219,15 +229,47 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
                                     K=raster_K, Kg=raster_Kg,
                                     live_cap=raster_live))(v_clip)
 
-    def one_view(v_clip_b, tri_sel_b, view_pos_b, rng_b):
-        layers = rasterize_apply(v_clip_b, mesh.t_pos_idx, tri_sel_b,
-                                 full_res)
-        vp = view_pos_b[None, None, :]
-        bufs = []
-        for rast in layers:
-            bufs.append(render_layer(rast, mesh, vp, lgt, bsdf,
-                                     xfm_lgt=xfm_lgt, rng=rng_b))
-        return tuple(bufs), tuple(layers)
+    # covered-pixel compaction for the shading chain: selection indices are
+    # stop-gradient and computed OUTSIDE the remat region (like tri_sel),
+    # so the backward pass re-reads them instead of redoing the cumsum.
+    if shade_cap is not None:
+        pix_idx, pix_valid, shade_over = jax.vmap(jax.vmap(
+            lambda t: compact_pixels(t, shade_cap)))(tri_sel)
+
+    def one_view(v_clip_b, tri_sel_b, view_pos_b, rng_b,
+                 idx_b=None, selv_b=None):
+        if idx_b is None:
+            layers = rasterize_apply(v_clip_b, mesh.t_pos_idx, tri_sel_b,
+                                     full_res)
+            vp = view_pos_b[None, None, :]
+            bufs = []
+            for rast in layers:
+                bufs.append(render_layer(rast, mesh, vp, lgt, bsdf,
+                                         xfm_lgt=xfm_lgt, rng=rng_b))
+            return tuple(bufs), tuple(layers)
+        # compact path: per-pixel chain over (cap,) slots, scatter dense
+        bufs, rasts = [], []
+        for li in range(tri_sel_b.shape[0]):
+            rast_c = rasterize_apply_compact(
+                v_clip_b, mesh.t_pos_idx, tri_sel_b[li], idx_b[li],
+                selv_b[li], full_res)
+            buf_c = render_layer(rast_c, mesh, view_pos_b[None, :], lgt,
+                                 bsdf, xfm_lgt=xfm_lgt, rng=rng_b)
+            dense_valid = tri_sel_b[li] >= 0
+            buf = {k: scatter_pixels(v, idx_b[li], selv_b[li], full_res)
+                   for k, v in buf_c.items()
+                   if k not in ('mask', 'mask_cont')}
+            m = dense_valid[..., None].astype(jnp.float32)
+            buf['mask'] = m
+            buf['mask_cont'] = m
+            bufs.append(buf)
+            rasts.append(RasterOut(
+                tri_id=tri_sel_b[li],
+                bary=jnp.zeros(full_res + (3,), jnp.float32),
+                zbuf=scatter_pixels(rast_c.zbuf, idx_b[li], selv_b[li],
+                                    full_res, fill=float(BIG)),
+                valid=dense_valid))
+        return tuple(bufs), tuple(rasts)
 
     # vmap over the camera batch: ONE traced view instead of B copies of
     # the whole rasterize+shade graph — B-fold smaller programs (the
@@ -320,6 +362,9 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
     # silhouette pairs dropped by the compacted AA pass (grow aa_budget)
     out['aa_overflow'] = (jnp.max(jnp.stack(aa_overflows))
                           if aa_overflows else jnp.zeros((), jnp.int32))
+    # covered pixels dropped by the shading compaction (grow shade_cap)
+    out['shade_overflow'] = (jnp.max(shade_over) if shade_cap is not None
+                             else jnp.zeros((), jnp.int32))
     # fixed-size replacement for the reference's dynamic triangle-id list:
     F = mesh.t_pos_idx.shape[0]
     tri0 = view_rasts[0].tri_id

@@ -83,18 +83,30 @@ def test_pass1_fit_converges(tiny_tet_grid, tmp_path):
         new = step(state, None, light_base, opt_geo, None, opt_lgt, target,
                    jnp.asarray(it, jnp.float32), k_s)
         overflow = int(new[6]['raster_overflow'])
-        if overflow > 0:
-            # the driver's auto-grow contract: re-jit with a bigger K and
-            # redo the step (tiny grid at 64^2 concentrates all faces into
-            # 4 tiles, so this path MUST trigger and then clear)
-            need = cfg.raster_K + overflow
-            newK = cfg.raster_K
-            while newK < need:
-                newK *= 2
-            cfg = dataclasses.replace(cfg, raster_K=newK)
+        sh_over = int(new[6]['shade_overflow'])
+        if overflow > 0 or sh_over > 0:
+            # the driver's auto-grow contract: re-jit with a bigger
+            # capacity and redo the step (tiny grid at 64^2 concentrates
+            # all faces into 4 tiles, so this path MUST trigger and then
+            # clear; the early random-soup mesh can likewise exceed the
+            # auto shade_cap = H*W//4)
+            if overflow > 0:
+                need = cfg.raster_K + overflow
+                newK = cfg.raster_K
+                while newK < need:
+                    newK *= 2
+                cfg = dataclasses.replace(cfg, raster_K=newK)
+            if sh_over > 0:
+                H, W = cfg.train_res
+                cur = H * W // 4 if cfg.shade_cap < 0 else cfg.shade_cap
+                newC = cur
+                while newC < cur + sh_over:
+                    newC *= 2
+                cfg = dataclasses.replace(cfg,
+                                          shade_cap=min(newC, H * W))
             step, _, _, _ = F.make_fit_step(fitter, cfg, renderer, None, 0)
             regrows += 1
-            assert regrows < 8
+            assert regrows < 10
             continue
         state, _, light_base, opt_geo, _, opt_lgt, metrics = new
         img_hist.append(float(metrics['img_loss']))
