@@ -419,8 +419,10 @@ def fit_one_mesh(mesh_path: str, cfg: FitConfig, out_dir: str,
                 cur = (H * W // 4 if pass_cfg.shade_cap < 0
                        else pass_cfg.shade_cap)
                 # ceiling H*W: the compact path then holds every pixel, so
-                # overflow is structurally impossible (count <= H*W)
-                new_cap = cur
+                # overflow is structurally impossible (count <= H*W).
+                # max(cur, 1): the doubling loop must not spin on cur == 0
+                # (possible if a tiny train_res makes H*W//4 == 0)
+                new_cap = max(cur, 1)
                 while new_cap < cur + shade_over:
                     new_cap *= 2
                 new_cap = min(new_cap, H * W)

@@ -279,7 +279,19 @@ def render_mesh(mesh: Mesh, mtx_in: jnp.ndarray, view_pos: jnp.ndarray,
     # storing its intermediates (the differentiated 512^2 batch-4 fit step
     # otherwise needs 21 GB of HBM).
     body = jax.checkpoint(one_view) if remat else one_view
-    if rng is not None:
+    if shade_cap is not None:
+        # compact path: the per-view (L, cap) index/valid selections ride
+        # the vmap alongside tri_sel (advisor round 4: they were computed
+        # but never threaded, leaving the dense branch always live)
+        if rng is not None:
+            view_bufs, view_rasts = jax.vmap(body)(
+                v_clip, tri_sel, view_pos, jax.random.split(rng, B),
+                pix_idx, pix_valid)
+        else:
+            view_bufs, view_rasts = jax.vmap(
+                lambda vc, ts, vp, ib, sb: body(vc, ts, vp, None, ib, sb))(
+                    v_clip, tri_sel, view_pos, pix_idx, pix_valid)
+    elif rng is not None:
         view_bufs, view_rasts = jax.vmap(body)(
             v_clip, tri_sel, view_pos, jax.random.split(rng, B))
     else:

@@ -113,3 +113,24 @@ def test_compact_overflow_counts(sphere_scene):
                         num_layers=2, raster_K=256, aa=False, shade_cap=16)
     # layer-0 coverage dominates: the max over views/layers is layer 0's
     assert int(small['shade_overflow']) == n_cov - 16
+
+
+def test_compact_branch_engages(sphere_scene):
+    """A starved cap must visibly change the output — guards against the
+    compaction silently not being threaded through the vmap (advisor
+    round 4: pix_idx/pix_valid were computed but never passed to one_view,
+    so every exactness test above compared dense against dense)."""
+    from meshdiffusion_tpu.render.render import render_mesh
+    m, env, mvp, campos = sphere_scene
+    H = W = 64
+    kw = dict(resolution=(H, W), num_layers=2, raster_K=256, aa=False)
+    dense = render_mesh(m, mvp, campos, env, **kw)
+    small = render_mesh(m, mvp, campos, env, shade_cap=16, **kw)
+    n_cov = int(dense['mask'].sum())
+    assert n_cov > 50
+    # beyond-cap pixels scatter back as zeros: at most 16 shaded pixels
+    # survive, so the starved image MUST differ from the dense one
+    n_small = int((np.asarray(small['shaded'])[..., 3] > 0.5).sum())
+    assert n_small <= 16
+    assert not np.allclose(np.asarray(dense['shaded']),
+                           np.asarray(small['shaded']))
