@@ -7,14 +7,18 @@ remeshing (Botsch & Kobbelt 2004): per iteration
 
 1. split every edge longer than 4/3 of the target length (vectorized
    1-to-2/3/4 triangle subdivision, shared midpoints keep the mesh closed),
-2. collapse edges shorter than 4/5 of the target (greedy, link-condition
-   guarded so the mesh stays manifold),
+2. collapse edges shorter than 4/5 of the target (link-condition guarded
+   so the mesh stays manifold),
 3. flip edges to drive vertex valences toward 6,
 4. tangential relaxation (uniform centroid, normal component projected out).
 
-Runs on the host: extraction output is small (tens of k faces) and the op
-is branchy connectivity surgery — the wrong shape for XLA. The TPU-side
-pipeline hands over compacted numpy arrays (extract.py).
+Runs on the host: the op is branchy connectivity surgery — the wrong shape
+for XLA. Every phase is vectorized numpy (conflict-free subsets selected by
+priority min-scatter instead of per-edge Python greedy): the reference's
+pymeshlab call is native C++ taking seconds (nvdiffrec/eval.py:449-456),
+and the original Python-loop collapse/flip took 137 s on a 200k-face mesh
+(round-4 bench). The TPU-side pipeline hands over compacted numpy arrays
+(extract.py).
 """
 
 from __future__ import annotations
@@ -26,9 +30,19 @@ import numpy as np
 
 def _unique_edges(faces: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Unique undirected edges (E, 2) and per-face edge ids (F, 3) in the
-    order (v0-v1, v1-v2, v2-v0)."""
-    e = np.sort(faces[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2), axis=1)
-    eu, inv = np.unique(e, axis=0, return_inverse=True)
+    order (v0-v1, v1-v2, v2-v0).
+
+    Scalar-encoded (lo * nv + hi) so the dedup is one 1-D np.unique — the
+    2-D axis=0 variant void-view-sorts and was the dominant cost of every
+    remesh pass at noise-soup face counts."""
+    if len(faces) == 0:
+        return np.zeros((0, 2), np.int64), np.zeros((0, 3), np.int64)
+    a = faces[:, [0, 1, 2]].astype(np.int64)
+    b = faces[:, [1, 2, 0]].astype(np.int64)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    M = int(faces.max()) + 1
+    keys, inv = np.unique(lo * M + hi, return_inverse=True)
+    eu = np.stack([keys // M, keys % M], axis=1)
     return eu, inv.reshape(-1, 3)
 
 
@@ -83,128 +97,184 @@ def split_long_edges(verts: np.ndarray, faces: np.ndarray, thresh: float,
     return verts, faces
 
 
-def _vertex_adjacency(faces: np.ndarray, nv: int):
-    """List-of-sets vertex adjacency."""
-    adj = [set() for _ in range(nv)]
-    for tri in faces:
-        a, b, c = int(tri[0]), int(tri[1]), int(tri[2])
-        adj[a].update((b, c))
-        adj[b].update((a, c))
-        adj[c].update((a, b))
-    return adj
+def _csr_adjacency(eu: np.ndarray, nv: int):
+    """Boolean vertex-adjacency CSR matrix from unique edges."""
+    import scipy.sparse as sp
+    rows = np.concatenate([eu[:, 0], eu[:, 1]])
+    cols = np.concatenate([eu[:, 1], eu[:, 0]])
+    return sp.csr_matrix((np.ones(len(rows), np.int8), (rows, cols)),
+                         shape=(nv, nv))
+
+
+def _flat_ranges(start: np.ndarray, deg: np.ndarray) -> np.ndarray:
+    """Concatenate [start[i], start[i]+deg[i]) ranges without Python loops."""
+    total = int(deg.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    offs = np.concatenate([[0], np.cumsum(deg)[:-1]])
+    return (np.arange(total, dtype=np.int64)
+            + np.repeat(start.astype(np.int64) - offs, deg))
 
 
 def collapse_short_edges(verts: np.ndarray, faces: np.ndarray, low: float,
-                         high: float) -> Tuple[np.ndarray, np.ndarray]:
-    """Greedy midpoint collapse of edges shorter than ``low``.
+                         high: float, max_passes: int = 10
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Midpoint collapse of edges shorter than ``low``, vectorized.
 
     Manifold-guarded: the link condition |N(u) & N(w)| == 2 must hold and
-    no edge incident to the merged vertex may exceed ``high``. One pass
-    (touched vertices are frozen); repeated across remesh iterations.
+    no edge incident to the merged vertex may exceed ``high``. Per pass, a
+    conflict-free subset is applied at once: shortest-first priority, an
+    edge wins iff it holds the minimum priority over its whole 1-ring
+    neighborhood (both endpoints AND their neighbors — the same
+    distance->=2 separation the sequential greedy enforced by freezing
+    touched vertices), computed with two min-scatter sweeps. Passes repeat
+    on the collapsed mesh until no short edge survives its guards.
     """
-    eu, _ = _unique_edges(faces)
-    lens = _edge_lengths(verts, eu)
-    short = np.nonzero(lens < low)[0]
-    if len(short) == 0:
-        return verts, faces
-    short = short[np.argsort(lens[short])]
-    adj = _vertex_adjacency(faces, len(verts))
+    for _ in range(max_passes):
+        nv = len(verts)
+        eu, _ = _unique_edges(faces)
+        lens = _edge_lengths(verts, eu)
+        short = np.nonzero(lens < low)[0]
+        if len(short) == 0:
+            break
+        A = _csr_adjacency(eu, nv)
+        us, ws = eu[short, 0], eu[short, 1]
 
-    remap = np.arange(len(verts))
-    newpos = verts.copy()
-    touched = np.zeros(len(verts), bool)
-    for ei in short:
-        u, w = int(eu[ei, 0]), int(eu[ei, 1])
-        if touched[u] or touched[w]:
-            continue
-        common = adj[u] & adj[w]
-        if len(common) != 2:          # non-manifold or boundary collapse
-            continue
-        mid = 0.5 * (verts[u] + verts[w])
-        nbrs = (adj[u] | adj[w]) - {u, w}
-        if any(np.linalg.norm(verts[n] - mid) > high for n in nbrs):
-            continue
-        remap[w] = u
-        newpos[u] = mid
-        touched[u] = touched[w] = True
-        for n in nbrs:
-            touched[n] = True
-    faces = remap[faces]
-    # drop faces that lost a vertex (two corners merged)
-    good = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
-            & (faces[:, 2] != faces[:, 0]))
-    faces = faces[good]
-    # compact vertex array
-    used = np.zeros(len(verts), bool)
-    used[faces.reshape(-1)] = True
-    new_id = np.cumsum(used) - 1
-    return newpos[used], new_id[faces]
+        # link condition: exactly two common neighbors (the two opposite
+        # vertices of the edge's faces); more = pinched/non-manifold merge
+        common = np.asarray(A[us].multiply(A[ws]).sum(axis=1)).ravel()
+        ok = common == 2
+
+        # no post-collapse edge may exceed ``high``: max distance from the
+        # midpoint to any neighbor of either endpoint (CSR range expansion)
+        mids = 0.5 * (verts[us] + verts[ws])
+        maxd = np.zeros(len(short))
+        for vs in (us, ws):
+            start, deg = A.indptr[vs], A.indptr[vs + 1] - A.indptr[vs]
+            flat = _flat_ranges(start, deg)
+            cand = np.repeat(np.arange(len(short)), deg)
+            nbr = A.indices[flat]
+            d = np.linalg.norm(verts[nbr] - mids[cand], axis=1)
+            np.maximum.at(maxd, cand, d)
+        ok &= maxd <= high
+        if not ok.any():
+            break
+        cand_e = short[ok]
+        cu, cw = eu[cand_e, 0], eu[cand_e, 1]
+
+        # shortest-first priority; a candidate wins iff it is the strict
+        # minimum over {u,w} ∪ N(u) ∪ N(w)
+        prio = np.empty(len(cand_e), np.int64)
+        prio[np.argsort(lens[cand_e], kind='stable')] = np.arange(len(cand_e))
+        INF = np.iinfo(np.int64).max
+        minp = np.full(nv, INF, np.int64)
+        np.minimum.at(minp, cu, prio)
+        np.minimum.at(minp, cw, prio)
+        prop = minp.copy()
+        np.minimum.at(prop, eu[:, 0], minp[eu[:, 1]])
+        np.minimum.at(prop, eu[:, 1], minp[eu[:, 0]])
+        sel = (prop[cu] == prio) & (prop[cw] == prio)
+        if not sel.any():
+            break
+        su, sw = cu[sel], cw[sel]
+
+        remap = np.arange(nv)
+        remap[sw] = su
+        newpos = verts.copy()
+        newpos[su] = 0.5 * (verts[su] + verts[sw])
+        faces = remap[faces]
+        # drop faces that lost a vertex (two corners merged)
+        good = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+                & (faces[:, 2] != faces[:, 0]))
+        faces = faces[good]
+        # compact vertex array
+        used = np.zeros(nv, bool)
+        used[faces.reshape(-1)] = True
+        new_id = np.cumsum(used) - 1
+        verts, faces = newpos[used], new_id[faces]
+    return verts, faces
 
 
-def flip_edges(verts: np.ndarray, faces: np.ndarray
+def flip_edges(verts: np.ndarray, faces: np.ndarray, max_passes: int = 3
                ) -> Tuple[np.ndarray, np.ndarray]:
     """Flip interior edges when it reduces total squared valence deviation
-    from 6. Greedy, at most one flip per face per pass."""
+    from 6. Vectorized: per pass, a vertex-disjoint set of improving flips
+    (largest-gain priority, min-scatter selection over the four touched
+    vertices) is applied at once — vertex-disjoint flips have independent
+    valence updates, cannot share a face, and cannot create the same edge
+    twice. Passes repeat until no improving flip survives.
+    """
     nv = len(verts)
-    eu, fe = _unique_edges(faces)
-    # valences
-    val = np.zeros(nv, np.int64)
-    np.add.at(val, eu.reshape(-1), 1)
-    # edge -> adjacent faces (manifold: <= 2)
-    e2f = {}
-    for fi in range(len(faces)):
-        for k in range(3):
-            e2f.setdefault(int(fe[fi, k]), []).append(fi)
-    existing = set(map(tuple, eu))
-    face_used = np.zeros(len(faces), bool)
-    new_faces = faces.copy()
-    for ei, fl in e2f.items():
-        if len(fl) != 2:
-            continue
-        f0, f1 = fl
-        if face_used[f0] or face_used[f1]:
-            continue
-        u, w = int(eu[ei, 0]), int(eu[ei, 1])
-        t0 = [int(x) for x in new_faces[f0]]
-        t1 = [int(x) for x in new_faces[f1]]
-        opp0 = [x for x in t0 if x != u and x != w]
-        opp1 = [x for x in t1 if x != u and x != w]
-        if len(opp0) != 1 or len(opp1) != 1:
-            continue
-        a, b = opp0[0], opp1[0]
-        if a == b or tuple(sorted((a, b))) in existing:
-            continue
+    for _ in range(max_passes):
+        eu, fe = _unique_edges(faces)
+        if len(eu) == 0:
+            break
+        val = np.zeros(nv, np.int64)
+        np.add.at(val, eu.reshape(-1), 1)
+
+        # edge -> its (<=2) adjacent faces, via one stable sort
+        flat_e = fe.reshape(-1)
+        face_of = np.repeat(np.arange(len(faces)), 3)
+        order = np.argsort(flat_e, kind='stable')
+        counts = np.bincount(flat_e, minlength=len(eu))
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        interior = counts == 2
+        ei = np.nonzero(interior)[0]
+        f0 = face_of[order][starts[ei]]
+        f1 = face_of[order][starts[ei] + 1]
+
+        u, w = eu[ei, 0], eu[ei, 1]
+        t0, t1 = faces[f0], faces[f1]
+        a = t0.sum(axis=1) - u - w          # opposite vertex in f0
+        b = t1.sum(axis=1) - u - w          # opposite vertex in f1
+
         dev = lambda x: (x - 6) ** 2
-        before = dev(val[u]) + dev(val[w]) + dev(val[a]) + dev(val[b])
-        after = (dev(val[u] - 1) + dev(val[w] - 1)
-                 + dev(val[a] + 1) + dev(val[b] + 1))
-        if after >= before:
-            continue
-        # geometric guard: reject flips that would fold the surface
-        n0 = np.cross(verts[t0[1]] - verts[t0[0]], verts[t0[2]] - verts[t0[0]])
-        ku = t0.index(u)
+        gain = (dev(val[u]) + dev(val[w]) + dev(val[a]) + dev(val[b])
+                - dev(val[u] - 1) - dev(val[w] - 1)
+                - dev(val[a] + 1) - dev(val[b] + 1))
+        ok = (gain > 0) & (a != b)
+
+        # the flipped diagonal must not already exist
+        M = nv
+        new_key = np.minimum(a, b) * M + np.maximum(a, b)
+        keys = eu[:, 0] * M + eu[:, 1]      # sorted by construction
+        pos = np.searchsorted(keys, new_key)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        ok &= keys[pos_c] != new_key
+
         # orientation from t0's cyclic order: if u->w in t0 the flipped
         # diagonal runs b->a seen from u's side, else a->b
-        if t0[(ku + 1) % 3] == w:
-            nt0 = [u, b, a]
-            nt1 = [w, a, b]
-        else:
-            nt0 = [u, a, b]
-            nt1 = [w, b, a]
-        nn0 = np.cross(verts[nt0[1]] - verts[nt0[0]],
-                       verts[nt0[2]] - verts[nt0[0]])
-        if np.dot(n0, nn0) <= 0:
-            continue
-        new_faces[f0] = nt0
-        new_faces[f1] = nt1
-        face_used[f0] = face_used[f1] = True
-        val[u] -= 1
-        val[w] -= 1
-        val[a] += 1
-        val[b] += 1
-        existing.discard((min(u, w), max(u, w)))
-        existing.add(tuple(sorted((a, b))))
-    return verts, new_faces
+        ku = np.argmax(t0 == u[:, None], axis=1)
+        uw_order = t0[np.arange(len(t0)), (ku + 1) % 3] == w
+        nt0 = np.where(uw_order[:, None],
+                       np.stack([u, b, a], 1), np.stack([u, a, b], 1))
+        nt1 = np.where(uw_order[:, None],
+                       np.stack([w, a, b], 1), np.stack([w, b, a], 1))
+        # geometric guard: reject flips that would fold the surface
+        n0 = np.cross(verts[t0[:, 1]] - verts[t0[:, 0]],
+                      verts[t0[:, 2]] - verts[t0[:, 0]])
+        nn0 = np.cross(verts[nt0[:, 1]] - verts[nt0[:, 0]],
+                       verts[nt0[:, 2]] - verts[nt0[:, 0]])
+        ok &= np.einsum('ij,ij->i', n0, nn0) > 0
+        if not ok.any():
+            break
+
+        # vertex-disjoint selection, largest gain first
+        cu, cw, ca, cb = u[ok], w[ok], a[ok], b[ok]
+        prio = np.empty(int(ok.sum()), np.int64)
+        prio[np.argsort(-gain[ok], kind='stable')] = np.arange(len(prio))
+        INF = np.iinfo(np.int64).max
+        minp = np.full(nv, INF, np.int64)
+        for vs in (cu, cw, ca, cb):
+            np.minimum.at(minp, vs, prio)
+        sel = ((minp[cu] == prio) & (minp[cw] == prio)
+               & (minp[ca] == prio) & (minp[cb] == prio))
+        if not sel.any():
+            break
+        faces = faces.copy()
+        faces[f0[ok][sel]] = nt0[ok][sel]
+        faces[f1[ok][sel]] = nt1[ok][sel]
+    return verts, faces
 
 
 def tangential_relax(verts: np.ndarray, faces: np.ndarray, lam: float = 0.5
