@@ -230,6 +230,7 @@ def main():
     # is the honest end-to-end number including it.
     t0 = time.perf_counter()
     post_meshes = []
+    t_post_trained = 0.0
     if os.environ.get('BENCH_POSTPROCESS', '1') == '1':
         from meshdiffusion_tpu.geometry.remesh import isotropic_remesh
         from meshdiffusion_tpu.geometry.smoothing import smooth_compacted
@@ -239,7 +240,28 @@ def main():
                 v = smooth_compacted(v, f, steps=3)
                 v, f = isotropic_remesh(v, f)
             post_meshes.append((v, f))
-    t_post = time.perf_counter() - t0
+        t_post = time.perf_counter() - t0
+
+        # random weights produce a sign-noise SDF whose extraction is a
+        # ~200k-face soup — unrepresentative of a trained model (round-4
+        # verdict). Also time the same post-process on a trained-SCALE
+        # mesh (a smooth SDF on the same grid, ~12k faces) so BENCH
+        # artifacts carry both numbers.
+        sdf_sphere = jnp.asarray(
+            np.linalg.norm(np.asarray(tg.verts), axis=1) - 0.35)
+        g_tr = jnp.zeros((R, R, R, 4)).at[..., 0].set(1.0)
+        c = np.asarray(tg.vert_grid_coords)
+        g_tr = g_tr.at[c[:, 0], c[:, 1], c[:, 2], 0].set(
+            jnp.sign(sdf_sphere))
+        vt, ft = g2m.compact(g2m(g_tr))
+        t0 = time.perf_counter()
+        if len(ft):
+            vt, ft = isotropic_remesh(vt, ft)
+            vt = smooth_compacted(vt, ft, steps=3)
+            vt, ft = isotropic_remesh(vt, ft)
+        t_post_trained = time.perf_counter() - t0
+    else:
+        t_post = time.perf_counter() - t0
 
     save_dir = os.environ.get('BENCH_SAVE_DIR')
     if save_dir:
@@ -274,6 +296,11 @@ def main():
             # host remesh->smooth->remesh (reference eval.py:449-456);
             # kept out of the primary metric for r01-03 comparability
             "postprocess_s": round(t_post, 3),
+            # same post-process on a trained-scale (~12k-face) mesh from a
+            # smooth SDF on the same grid — what a trained model's
+            # extraction actually costs (the noise soup above is the
+            # random-weights worst case)
+            "postprocess_trained_scale_s": round(t_post_trained, 3),
             "sec_per_mesh_full": round((total + t_post) / batch, 3),
             "sec_per_mesh": round(sec_per_mesh, 3),
             "ms_per_unet_step": round(t_sample / max(steps - 1, 1) * 1000, 3),
