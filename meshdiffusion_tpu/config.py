@@ -133,6 +133,11 @@ def get_default_config() -> ml_collections.ConfigDict:
     # step regressed (79.1 vs 73.4 ms: lost cross-op fusions around the
     # opaque pallas_call) — off until an in-model win is demonstrated.
     tpu.fused_gn_silu_conv = False
+    # rematerialize each ResnetBlock in the TRAIN forward (jax.checkpoint):
+    # trades one extra forward's FLOPs for O(depth) less activation HBM —
+    # required to fit the reference's large train batches (configs/res64.py
+    # batch 48) on one chip. Forward-only (sampling) paths are unaffected.
+    tpu.remat_blocks = True
     tpu.tet_root = ""               # dir holding {R}_tets_cropped.npz; '' -> bundled default
 
     return config

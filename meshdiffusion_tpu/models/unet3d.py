@@ -32,6 +32,21 @@ from .registry import register_model, register_alias
 Dtype = Any
 
 
+def _apply_block(mdl, x, temb, deterministic):
+    """Array-signature adapter so nn.remat can mark `deterministic` static."""
+    return mdl(x, temb, deterministic=deterministic)
+
+
+# lifted remat of one ResnetBlock: backward recomputes the block's
+# internals from its (x, temb) boundary instead of saving every GN/SiLU/conv
+# intermediate — peak activation memory drops from O(blocks x tensors) to
+# O(blocks) saved boundaries + one block's internals. Param tree and
+# train-mode forward values are identical to the plain call; gradients match
+# to float32 ulp (XLA refuses bit-exactness: remat changes fusion, which
+# reassociates reductions). Tested in test_model.py::test_remat_blocks_parity.
+_remat_block = nn.remat(_apply_block, static_argnums=(3,))
+
+
 class UNet3D(nn.Module):
     """DDPM 3D U-Net over (B, R, R, R, C) grids."""
 
@@ -55,6 +70,7 @@ class UNet3D(nn.Module):
     dtype: Dtype = jnp.float32
     fused_gn: bool = False
     fused_gn_conv: bool = False
+    remat_blocks: bool = True   # remat ResnetBlocks when train=True
 
     @classmethod
     def from_config(cls, config, **overrides):
@@ -81,6 +97,7 @@ class UNet3D(nn.Module):
             dtype=jnp.dtype(config.tpu.compute_dtype) if 'tpu' in config else jnp.float32,
             fused_gn=bool(config.tpu.get('fused_groupnorm', False)) if 'tpu' in config else False,
             fused_gn_conv=bool(config.tpu.get('fused_gn_silu_conv', False)) if 'tpu' in config else False,
+            remat_blocks=bool(config.tpu.get('remat_blocks', True)) if 'tpu' in config else True,
         )
         kw.update(overrides)
         return cls(**kw)
@@ -103,10 +120,17 @@ class UNet3D(nn.Module):
         act = nn.silu
         dt = self.dtype
 
-        Res = lambda out_ch, name: layers.ResnetBlockDDPM(
-            out_ch=out_ch, temb_dim=4 * nf, dropout=self.dropout, dtype=dt,
-            fused_gn=self.fused_gn, fused_gn_conv=self.fused_gn_conv,
-            name=name)
+        # remat only under train: forward-only sampling keeps XLA's full
+        # cross-op fusion freedom (jax.checkpoint only changes the backward,
+        # but prevent_cse could perturb forward-only fusion)
+        blk = _remat_block if (self.remat_blocks and train) else _apply_block
+        Res = lambda out_ch, name: (
+            lambda h_in, temb_in, deterministic: blk(
+                layers.ResnetBlockDDPM(
+                    out_ch=out_ch, temb_dim=4 * nf, dropout=self.dropout,
+                    dtype=dt, fused_gn=self.fused_gn,
+                    fused_gn_conv=self.fused_gn_conv, name=name),
+                h_in, temb_in, deterministic))
 
         # timestep embedding
         if self.conditional:
@@ -142,8 +166,7 @@ class UNet3D(nn.Module):
         for i_level in range(num_resolutions):
             for i_block in range(self.level_blocks(i_level)):
                 h = Res(nf * self.ch_mult[i_level],
-                        f'down_{i_level}_{i_block}')(hs[-1], temb,
-                                                     deterministic=not train)
+                        f'down_{i_level}_{i_block}')(hs[-1], temb, not train)
                 if all_resolutions[i_level] in self.attn_resolutions:
                     h = layers.AttnBlock(dtype=dt,
                                          name=f'down_{i_level}_{i_block}_attn')(h)
@@ -155,9 +178,9 @@ class UNet3D(nn.Module):
 
         # middle
         h = hs[-1]
-        h = Res(None, 'mid_0')(h, temb, deterministic=not train)
+        h = Res(None, 'mid_0')(h, temb, not train)
         h = layers.AttnBlock(dtype=dt, name='mid_attn')(h)
-        h = Res(None, 'mid_1')(h, temb, deterministic=not train)
+        h = Res(None, 'mid_1')(h, temb, not train)
 
         # up path
         for i_level in reversed(range(num_resolutions)):
@@ -166,7 +189,7 @@ class UNet3D(nn.Module):
                 h = Res(nf * self.ch_mult[i_level],
                         f'up_{i_level}_{i_block}')(
                             jnp.concatenate([h, skip], axis=-1), temb,
-                            deterministic=not train)
+                            not train)
             if all_resolutions[i_level] in self.attn_resolutions:
                 h = layers.AttnBlock(dtype=dt, name=f'up_{i_level}_attn')(h)
             if i_level != 0:

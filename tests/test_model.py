@@ -144,3 +144,38 @@ def test_conv3d_sum3_variant_matches(monkeypatch):
     g = jax.grad(lambda pp: float(0) + jnp.sum(m.apply(pp, x) ** 2))(p)
     assert all(np.isfinite(np.asarray(l, np.float32)).all()
                for l in jax.tree.leaves(g))
+
+
+def test_remat_blocks_parity():
+    """remat_blocks=True is numerically invisible: identical param tree,
+    identical train-mode forward values, and gradients equal to a scaled
+    float32 tolerance (remat recomputes the same math, but XLA's changed
+    fusion reassociates reductions — observed diffs are ~1e-19 absolute on
+    near-zero leaves, i.e. last-ulp noise, not a formula change)."""
+    m_plain = tiny_model(remat_blocks=False)
+    m_remat = tiny_model(remat_blocks=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 16, 16, 16, 4)).astype(np.float32))
+    labels = jnp.array([3.0, 500.0])
+    mask = jnp.ones((1, 16, 16, 16, 1))
+    p0 = m_plain.init({'params': jax.random.key(0)}, x, labels, mask)
+    p1 = m_remat.init({'params': jax.random.key(0)}, x, labels, mask)
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1))
+
+    def loss(m, p):
+        return jnp.sum(m.apply(p, x, labels, mask, train=True) ** 2)
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(m_plain, p))(p0)
+    v1, g1 = jax.value_and_grad(lambda p: loss(m_remat, p))(p1)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+    # tolerance is scaled by the GLOBAL gradient magnitude: leaves downstream
+    # of zero-init convs carry ~1e-20 denormal noise whose relative error is
+    # meaningless (observed 10x on 1e-20 values), while a genuine formula
+    # change would show up at the real gradient scale (~0.07 here — small
+    # because the zero-init out_conv shrinks the loss)
+    gmax = max(float(np.abs(np.asarray(l)).max()) for l in jax.tree.leaves(g0))
+    assert gmax > 1e-3  # the loss actually produces real gradients
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6 * gmax)
