@@ -107,7 +107,9 @@ def main():
         try:
             r = bench_one(b, args.iter_size, args.steps, args.dtype)
         except Exception as e:  # OOM at large batch is a result, not a crash
-            r = {'micro_batch': b, 'error': f'{type(e).__name__}: {e}'[:4000]}
+            msg = f'{type(e).__name__}: {e}'
+            # keep the TAIL: compile-helper logs put the real error last
+            r = {'micro_batch': b, 'error': msg[-4000:]}
         results.append(r)
         print(json.dumps(r), flush=True)
     return results
