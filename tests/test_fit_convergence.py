@@ -113,19 +113,25 @@ def test_pass1_fit_converges(tiny_tet_grid, tmp_path):
         it += 1
 
     cd1 = chamfer_now(state)
+    q = len(img_hist) // 4
+    print('MEASURED cd0=%.5f cd1=%.5f img_first_q=%.5f img_last_q=%.5f'
+          % (cd0, cd1, np.mean(img_hist[:q]), np.mean(img_hist[-q:])))
     assert np.isfinite(cd1)
     # the light-optimization path actually ran: base moved, stayed >= 0
     lb = np.asarray(light_base)
     assert not np.allclose(lb, light_base0), 'light base never updated'
     assert (lb >= 0).all(), 'light clamp_(min=0) not applied'
-    # chamfer falls: the random-init soup collapses onto the sphere
-    # (thresholds calibrated loose for the 120-iter CPU budget; the AA
-    # ablation runs the same fit to chamfer ~0.013 at 150 iters)
-    assert cd1 < 0.6 * cd0, (cd0, cd1)
-    assert cd1 < 0.05, cd1
-    # image loss trend: the last quartile clearly below the first
-    q = len(img_hist) // 4
-    assert np.mean(img_hist[-q:]) < 0.8 * np.mean(img_hist[:q]), \
+    # chamfer falls: the random-init soup collapses onto the sphere.
+    # Thresholds are measured-plus-margin (VERDICT r4 item 8): this exact
+    # run measures cd0=0.0487, cd1=0.0179 (ratio 0.37), img quartile ratio
+    # 0.033 (4150 -> 138) with fixed seeds on CPU. Gates sit ~1.4x above
+    # the measured values, so a fit converging half as well (cd1~0.036,
+    # ratio~0.74) FAILS here rather than only in the slow A/B gate.
+    assert cd1 < 0.5 * cd0, (cd0, cd1)
+    assert cd1 < 0.025, cd1
+    # image loss trend: the last quartile far below the first (measured
+    # 0.033; gate at 0.10 = 3x margin, 8x tighter than the old 0.8)
+    assert np.mean(img_hist[-q:]) < 0.10 * np.mean(img_hist[:q]), \
         (np.mean(img_hist[:q]), np.mean(img_hist[-q:]))
 
 
